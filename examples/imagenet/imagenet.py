@@ -1,0 +1,28 @@
+"""ImageNet QResNet-18 driver (reference examples/imagenet/imagenet.py).
+
+Usage:
+    python examples/imagenet/imagenet.py --config examples/imagenet/imagenet_fp.yaml \
+        --experiment-name my-run
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from quant_tpu.config import get_base_argument_parser, parse_config  # noqa: E402
+from quant_tpu.data import ImageNetDataLoader  # noqa: E402
+from quant_tpu.experiment import Experiment  # noqa: E402
+from quant_tpu.train.task import classification_task  # noqa: E402
+from quant_tpu.utils.visualization import get_tensorboard_hooks  # noqa: E402
+
+
+def main() -> None:
+    parser = get_base_argument_parser('ImageNet experiment with QResNet-18')
+    config = parse_config(parser.parse_args())
+    Experiment(classification_task, config, ImageNetDataLoader,
+               get_tensorboard_hooks).run()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,344 @@
+"""Native dataset readers and batched loaders.
+
+Reference parity (quant/data/data_loaders.py in apple/ml-quant):
+  * MNIST     — normalize mean 0.1307 / std 0.3081 (:64-122)
+  * CIFAR-10  — normalize (0.4914,0.4822,0.4465)/(0.2470,0.2435,0.2616)
+  * CIFAR-100 — train aug RandomCrop(32, pad=4) + HFlip (:236-243),
+                normalize (0.5071,0.4865,0.4409)/(0.2673,0.2564,0.2762)
+  * ImageNet  — train RandomResizedCrop(224)+HFlip (:330-338), test
+                Resize(256)+CenterCrop(224) (:356-363); never downloads
+  * optional `test_sampler`-style subset eval via `test_subset`
+  * `cleanup()` hook (:59-61)
+
+All loaders emit (images NHWC float32 normalized, labels int32) numpy
+batches; augmentation is vectorized numpy on the host (a C++ decode/augment
+pipeline can slot in behind the same iterator contract).
+"""
+
+import gzip
+import logging
+import os
+import pickle
+import struct
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class BatchIterable:
+    """Reshuffled-per-epoch batched view over in-memory arrays."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, shuffle: bool, seed: int = 0,
+                 augment=None, drop_last: bool = False):
+        self.images, self.labels = images, labels
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.augment = augment
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    @property
+    def num_examples(self) -> int:
+        return len(self.labels)
+
+    def __len__(self) -> int:
+        n = self.num_examples
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        n = self.num_examples
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            rng.shuffle(order)
+            aug_rng = np.random.default_rng(self._seed + 10_000 + self._epoch)
+        self._epoch += 1
+        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            idx = order[start:start + self.batch_size]
+            imgs = self.images[idx]
+            if self.augment is not None:
+                imgs = self.augment(imgs, aug_rng)
+            yield imgs.astype(np.float32), self.labels[idx].astype(np.int32)
+
+
+def random_crop_flip(images: np.ndarray, rng: np.random.Generator,
+                     pad: int = 4) -> np.ndarray:
+    """RandomCrop(H, pad) + horizontal flip, vectorized over the batch."""
+    n, h, w, c = images.shape
+    padded = np.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    mode='constant')
+    ys = rng.integers(0, 2 * pad + 1, n)
+    xs = rng.integers(0, 2 * pad + 1, n)
+    flips = rng.random(n) < 0.5
+    out = np.empty_like(images)
+    for i in range(n):
+        crop = padded[i, ys[i]:ys[i] + h, xs[i]:xs[i] + w]
+        out[i] = crop[:, ::-1] if flips[i] else crop
+    return out
+
+
+class QuantDataLoader:
+    """Base loader: reference QuantDataLoader ABC semantics."""
+
+    def __init__(self, dataset_path: str = '', train_batch_size: int = 64,
+                 test_batch_size: int = 256, workers: int = 0,
+                 download: bool = False, test_subset: Optional[int] = None,
+                 seed: int = 0, drop_last: bool = False, **_unused):
+        self.dataset_path = Path(dataset_path)
+        self.train_batch_size = train_batch_size
+        self.test_batch_size = test_batch_size
+        self.test_subset = test_subset
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def get_train_loader(self) -> BatchIterable:
+        raise NotImplementedError
+
+    def get_test_loader(self) -> BatchIterable:
+        raise NotImplementedError
+
+    def cleanup(self) -> None:
+        """Post-run hook (reference data_loaders.py:59-61)."""
+
+    def _subset(self, images, labels):
+        if self.test_subset:
+            return images[:self.test_subset], labels[:self.test_subset]
+        return images, labels
+
+
+def _read_idx(path: Path) -> np.ndarray:
+    """Read an MNIST idx file (optionally gzipped)."""
+    opener = gzip.open if path.suffix == '.gz' else open
+    with opener(path, 'rb') as f:
+        magic = struct.unpack('>I', f.read(4))[0]
+        ndim = magic & 0xFF
+        shape = struct.unpack('>' + 'I' * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(shape)
+
+
+def _find(path: Path, names: list[str]) -> Path:
+    for name in names:
+        for cand in (path / name, path / (name + '.gz'),
+                     path / 'MNIST' / 'raw' / name,
+                     path / 'MNIST' / 'raw' / (name + '.gz')):
+            if cand.exists():
+                return cand
+    raise FileNotFoundError(f'None of {names} under {path} '
+                            '(downloads are not supported; place the '
+                            'dataset files there)')
+
+
+class MNISTDataLoader(QuantDataLoader):
+    """MNIST from idx files; normalize (0.1307, 0.3081)."""
+
+    MEAN, STD = 0.1307, 0.3081
+
+    def _load(self, split: str):
+        prefix = 'train' if split == 'train' else 't10k'
+        images = _read_idx(_find(self.dataset_path,
+                                 [f'{prefix}-images-idx3-ubyte',
+                                  f'{prefix}-images.idx3-ubyte']))
+        labels = _read_idx(_find(self.dataset_path,
+                                 [f'{prefix}-labels-idx1-ubyte',
+                                  f'{prefix}-labels.idx1-ubyte']))
+        x = (images.astype(np.float32) / 255.0 - self.MEAN) / self.STD
+        return x[..., None], labels
+
+    def get_train_loader(self):
+        x, y = self._load('train')
+        return BatchIterable(x, y, self.train_batch_size, shuffle=True,
+                             seed=self.seed, drop_last=self.drop_last)
+
+    def get_test_loader(self):
+        x, y = self._subset(*self._load('test'))
+        return BatchIterable(x, y, self.test_batch_size, shuffle=False)
+
+
+class _CIFARBase(QuantDataLoader):
+    mean: np.ndarray
+    std: np.ndarray
+    train_files: list[str]
+    test_files: list[str]
+    label_key: bytes
+
+    def _load(self, files):
+        xs, ys = [], []
+        for name in files:
+            for cand in (self.dataset_path / name,
+                         *self.dataset_path.glob(f'*/{name}')):
+                if cand.exists():
+                    with open(cand, 'rb') as f:
+                        d = pickle.load(f, encoding='bytes')
+                    xs.append(d[b'data'])
+                    ys.append(np.asarray(d[self.label_key]))
+                    break
+            else:
+                raise FileNotFoundError(f'{name} under {self.dataset_path}')
+        x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        x = (x.astype(np.float32) / 255.0 - self.mean) / self.std
+        return x, np.concatenate(ys)
+
+    def get_train_loader(self):
+        x, y = self._load(self.train_files)
+        return BatchIterable(x, y, self.train_batch_size, shuffle=True,
+                             seed=self.seed, augment=random_crop_flip,
+                             drop_last=self.drop_last)
+
+    def get_test_loader(self):
+        x, y = self._subset(*self._load(self.test_files))
+        return BatchIterable(x, y, self.test_batch_size, shuffle=False)
+
+
+class CIFAR10DataLoader(_CIFARBase):
+    mean = np.array([0.4914, 0.4822, 0.4465], np.float32)
+    std = np.array([0.2470, 0.2435, 0.2616], np.float32)
+    train_files = [f'data_batch_{i}' for i in range(1, 6)]
+    test_files = ['test_batch']
+    label_key = b'labels'
+
+
+class CIFAR100DataLoader(_CIFARBase):
+    mean = np.array([0.5071, 0.4865, 0.4409], np.float32)
+    std = np.array([0.2673, 0.2564, 0.2762], np.float32)
+    train_files = ['train']
+    test_files = ['test']
+    label_key = b'fine_labels'
+
+
+class ImageNetDataLoader(QuantDataLoader):
+    """ImageNet from the standard train/val class-folder layout.
+
+    Decoding uses PIL when available. Train: RandomResizedCrop(224)+HFlip;
+    test: Resize(256)+CenterCrop(224); ImageNet normalization. Images are
+    decoded lazily per batch (the full set does not fit in RAM).
+    """
+
+    MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+    STD = np.array([0.229, 0.224, 0.225], np.float32)
+    CROP, RESIZE = 224, 256
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        try:
+            from PIL import Image  # noqa: F401
+            self._pil = True
+        except ImportError:  # pragma: no cover
+            self._pil = False
+
+    def _index_split(self, split: str):
+        root = self.dataset_path / split
+        if not root.is_dir():
+            raise FileNotFoundError(f'{root} (downloads are not supported)')
+        classes = sorted(p.name for p in root.iterdir() if p.is_dir())
+        files, labels = [], []
+        for li, cname in enumerate(classes):
+            for f in sorted((root / cname).iterdir()):
+                files.append(f)
+                labels.append(li)
+        return files, np.asarray(labels, np.int64)
+
+    def _decode(self, path, train: bool, rng) -> np.ndarray:
+        from PIL import Image
+        img = Image.open(path).convert('RGB')
+        w, h = img.size
+        if train:
+            # RandomResizedCrop(224): scale (0.08,1.0), ratio (3/4,4/3)
+            for _ in range(10):
+                area = w * h * rng.uniform(0.08, 1.0)
+                ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+                cw = int(round(np.sqrt(area * ratio)))
+                ch = int(round(np.sqrt(area / ratio)))
+                if cw <= w and ch <= h:
+                    x0 = rng.integers(0, w - cw + 1)
+                    y0 = rng.integers(0, h - ch + 1)
+                    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+                    break
+            img = img.resize((self.CROP, self.CROP), Image.BILINEAR)
+            if rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        else:
+            scale = self.RESIZE / min(w, h)
+            img = img.resize((max(self.CROP, int(round(w * scale))),
+                              max(self.CROP, int(round(h * scale)))),
+                             Image.BILINEAR)
+            w2, h2 = img.size
+            x0 = (w2 - self.CROP) // 2
+            y0 = (h2 - self.CROP) // 2
+            img = img.crop((x0, y0, x0 + self.CROP, y0 + self.CROP))
+        arr = np.asarray(img, np.float32) / 255.0
+        return (arr - self.MEAN) / self.STD
+
+    def _loader(self, split: str, batch_size: int, train: bool):
+        files, labels = self._index_split(split)
+        if not train:
+            files, labels = self._subset(np.asarray(files, object), labels)
+        loader_self = self
+
+        class _Lazy:
+            num_examples = len(labels)
+
+            def __len__(self):
+                return -(-len(labels) // batch_size)
+
+            def __iter__(self):
+                order = np.arange(len(labels))
+                rng = np.random.default_rng(loader_self.seed)
+                if train:
+                    rng.shuffle(order)
+                for s in range(0, len(labels), batch_size):
+                    idx = order[s:s + batch_size]
+                    imgs = np.stack([
+                        loader_self._decode(files[i], train, rng)
+                        for i in idx])
+                    yield imgs, labels[idx].astype(np.int32)
+
+        return _Lazy()
+
+    def get_train_loader(self):
+        return self._loader('train', self.train_batch_size, train=True)
+
+    def get_test_loader(self):
+        return self._loader('val', self.test_batch_size, train=False)
+
+
+class SyntheticDataLoader(QuantDataLoader):
+    """Random data with fixed shapes — the test/bench workhorse (the
+    reference's RandomQuantDataLoader analog, tests/data/helpers.py)."""
+
+    def __init__(self, *args, image_shape=(28, 28, 1), num_classes: int = 10,
+                 train_size: int = 256, test_size: int = 256, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.image_shape = tuple(image_shape)
+        self.num_classes = num_classes
+        rng = np.random.default_rng(self.seed)
+        self._train = (rng.standard_normal(
+            (train_size,) + self.image_shape).astype(np.float32),
+            rng.integers(0, num_classes, train_size))
+        self._test = (rng.standard_normal(
+            (test_size,) + self.image_shape).astype(np.float32),
+            rng.integers(0, num_classes, test_size))
+
+    def get_train_loader(self):
+        return BatchIterable(*self._train, self.train_batch_size,
+                             shuffle=True, seed=self.seed,
+                             drop_last=self.drop_last)
+
+    def get_test_loader(self):
+        x, y = self._subset(*self._test)
+        return BatchIterable(x, y, self.test_batch_size, shuffle=False)
+
+
+DATASET_REGISTRY = {
+    'mnist': MNISTDataLoader,
+    'cifar10': CIFAR10DataLoader,
+    'cifar100': CIFAR100DataLoader,
+    'imagenet': ImageNetDataLoader,
+    'synthetic': SyntheticDataLoader,
+}

@@ -1,0 +1,352 @@
+"""Quantized layers: scheme registry, quantizer modules, QuantConv2d.
+
+Reference parity map:
+  * scheme strings 'fp' | 'ls-1' | 'ls-2' | 'ls-T' | 'gf-k'
+    (quant/binary/binary_conv.py:99-145 in apple/ml-quant)
+  * WeightQuantizer   — caches per-out-channel scales while training and
+    reuses them in eval (quant/binary/weight_quantization.py)
+  * ActivationQuantizer — per-sample scales with moving-average modes
+    off / eval_only / train_and_eval
+    (quant/binary/activation_quantization.py:19-102,
+     quant/utils/moving_average.py:27-39)
+  * QuantConv2d       — conv2d(w_quant(w), x_quant(clamp(x)))
+    (quant/binary/binary_conv.py:161-173)
+
+TPU-first notes: layouts are NHWC/HWIO; quantizer scale state lives in the
+'quant_state' flax collection (explicit state-in/state-out, no buffer
+mutation); parameter init matches torch's Conv2d/Linear defaults
+(uniform(-1/sqrt(fan_in), +1/sqrt(fan_in))) so QAT dynamics track the
+reference's published configs.
+"""
+
+import re
+from typing import Any, Callable, Optional, Sequence, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quant_tpu.ops import quantize as Q
+from quant_tpu.ops.conv import conv2d
+
+IntOr2 = Union[int, Sequence[int]]
+
+_LS_SCALES = {'fp': 0, 'ls-1': 1, 'ls-2': 2, 'ls-T': 1}
+
+
+def validate_scheme(scheme: str) -> None:
+    """Raise on invalid scheme strings (reference binary_conv.py:99-101)."""
+    if scheme not in _LS_SCALES and not re.fullmatch(r'gf-\d+', scheme):
+        raise ValueError(
+            f'Scheme {scheme} is invalid. Please see docs for valid schemes.')
+
+
+def scheme_num_scales(scheme: str) -> int:
+    """Number of scale vectors (k) a scheme tracks."""
+    validate_scheme(scheme)
+    if scheme in _LS_SCALES:
+        return _LS_SCALES[scheme]
+    return int(scheme.split('-')[1])
+
+
+def _quantize_with_scheme(scheme: str, x: jax.Array,
+                          vs: Optional[jax.Array], skip: int,
+                          solver_mode: str) -> tuple[jax.Array, jax.Array]:
+    """Dispatch to the pure quantizer function for `scheme`."""
+    if scheme == 'fp':
+        return Q.quantizer_fp(x, vs)
+    if scheme == 'ls-1':
+        return Q.quantizer_ls_1(x, vs[0] if vs is not None else None)
+    if scheme == 'ls-2':
+        return Q.quantizer_ls_2(x, vs, skip=skip, mode=solver_mode)
+    if scheme == 'ls-T':
+        return Q.quantizer_ls_ternary(x, vs, skip=skip, mode=solver_mode)
+    k = scheme_num_scales(scheme)
+    return Q.quantizer_gf(x, k, vs)
+
+
+def torch_conv_kernel_init(dtype=jnp.float32) -> Callable:
+    """torch nn.Conv2d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    (kaiming_uniform with a=sqrt(5); fan_in = Cin/groups * kh * kw.)
+    """
+    return jax.nn.initializers.variance_scaling(
+        scale=1.0 / 3.0, mode='fan_in', distribution='uniform', dtype=dtype)
+
+
+def torch_bias_init(fan_in: int, dtype=jnp.float32) -> Callable:
+    """torch Conv2d/Linear bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
+    bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=dtype):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class WeightQuantizer(nn.Module):
+    """Quantizes weights per out-channel; caches scales while training.
+
+    The cached (k, out_channels) scale stack is the state_dict-visible
+    buffer of the reference (weight_quantization.py:25,48-49,97-98): it is
+    written on every training forward (when 'quant_state' is mutable) and
+    read back in eval mode.
+    """
+
+    scheme: str
+    size: int  # number of out-channels
+    skip: int = 3
+    solver_mode: str = 'exact'
+
+    @nn.compact
+    def __call__(self, w_oi: jax.Array, train: bool,
+                 return_scales: bool = False):
+        """Quantize w_oi, whose leading axis is the out-channel axis."""
+        validate_scheme(self.scheme)
+        if self.scheme == 'fp':
+            return (w_oi, None) if return_scales else w_oi
+
+        k = scheme_num_scales(self.scheme)
+        cached = self.variable('quant_state', 'vs',
+                               lambda: jnp.zeros((k, self.size), jnp.float32))
+        if train or self.is_initializing():
+            vs, w_q = _quantize_with_scheme(
+                self.scheme, w_oi, None, self.skip, self.solver_mode)
+            if not self.is_initializing():
+                cached.value = vs
+        else:
+            vs = cached.value
+            _, w_q = _quantize_with_scheme(
+                self.scheme, w_oi, vs, self.skip, self.solver_mode)
+        return (w_q, vs) if return_scales else w_q
+
+
+class ActivationQuantizer(nn.Module):
+    """Quantizes activations per sample, with optional scale EMA.
+
+    Moving-average modes (reference activation_quantization.py:19-46):
+      * 'off'            — per-batch scales always.
+      * 'eval_only'      — track EMA of the batch-mean scales during
+                           training; use the EMA only in eval.
+      * 'train_and_eval' — track EMA and ALSO re-quantize with it during
+                           training. (The reference documents this as racy
+                           under DataParallel; here the functional state
+                           threading makes it safe by construction.)
+
+    EMA update (reference moving_average.py:27-39): first batch copies,
+    later batches blend momentum*old + (1-momentum)*new.
+    """
+
+    scheme: str
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    skip: int = 3
+    solver_mode: str = 'exact'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool,
+                 return_scales: bool = False):
+        """Quantize x; with return_scales also return the (k, N) scales
+        actually used (the packed inference path consumes only the scales
+        and re-derives sign planes — the dense x_q is then dead code XLA
+        prunes)."""
+
+        def out(x_q, vs):
+            return (x_q, vs) if return_scales else x_q
+
+        validate_scheme(self.scheme)
+        mode = self.moving_average_mode
+        if mode not in ('off', 'eval_only', 'train_and_eval'):
+            raise ValueError(f'Invalid moving average mode {mode}.')
+        if self.scheme == 'fp':
+            return out(x, None)
+
+        k = scheme_num_scales(self.scheme)
+        use_ema = mode != 'off'
+        if use_ema:
+            ema = self.variable('quant_state', 'ema',
+                                lambda: jnp.zeros((k,), jnp.float32))
+            count = self.variable('quant_state', 'ema_count',
+                                  lambda: jnp.zeros((), jnp.int32))
+
+        if train or self.is_initializing():
+            batch_vs, x_q = _quantize_with_scheme(
+                self.scheme, x, None, self.skip, self.solver_mode)
+            used_vs = batch_vs
+            if use_ema:
+                new = jnp.mean(batch_vs, axis=1)  # (k,) batch-mean scales
+                m = self.moving_average_momentum
+                blended = jnp.where(count.value > 0,
+                                    m * ema.value + (1.0 - m) * new, new)
+                if not self.is_initializing():
+                    ema.value = blended
+                    count.value = count.value + 1
+                if mode == 'train_and_eval':
+                    used_vs = jnp.broadcast_to(blended[:, None],
+                                               (k, x.shape[0]))
+                    _, x_q = _quantize_with_scheme(
+                        self.scheme, x, used_vs, self.skip, self.solver_mode)
+            return out(x_q, used_vs)
+
+        if use_ema:
+            vs = jnp.broadcast_to(ema.value[:, None], (k, x.shape[0]))
+            _, x_q = _quantize_with_scheme(
+                self.scheme, x, vs, self.skip, self.solver_mode)
+        else:
+            vs, x_q = _quantize_with_scheme(
+                self.scheme, x, None, self.skip, self.solver_mode)
+        return out(x_q, vs)
+
+
+class Conv(nn.Module):
+    """Full-precision NHWC conv with torch nn.Conv2d default init."""
+
+    features: int
+    kernel_size: IntOr2
+    stride: IntOr2 = 1
+    padding: IntOr2 = 0
+    use_bias: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) \
+            else tuple(self.kernel_size)
+        cin = x.shape[-1]
+        kernel = self.param(
+            'kernel', torch_conv_kernel_init(),
+            (kh, kw, cin // self.groups, self.features))
+        bias = None
+        if self.use_bias:
+            fan_in = (cin // self.groups) * kh * kw
+            bias = self.param('bias', torch_bias_init(fan_in),
+                              (self.features,))
+        return conv2d(x, kernel, stride=self.stride, padding=self.padding,
+                      groups=self.groups, bias=bias)
+
+
+class Dense(nn.Module):
+    """Fully-connected layer with torch nn.Linear default init."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        fan_in = x.shape[-1]
+        kernel = self.param('kernel', torch_conv_kernel_init(),
+                            (fan_in, self.features))
+        y = x @ kernel
+        if self.use_bias:
+            y = y + self.param('bias', torch_bias_init(fan_in),
+                               (self.features,))
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm with torch conventions (momentum is the NEW-stat weight)."""
+
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=1.0 - self.momentum,  # flax blends old stats by this
+            epsilon=self.epsilon,
+            use_bias=self.affine,
+            use_scale=self.affine,
+            name='bn',
+        )(x)
+
+
+class QuantConv2d(nn.Module):
+    """Quantized 2D conv: conv2d(w_quant(w), x_quant(clamp(x))) + bias.
+
+    The computational heart of the framework (reference
+    binary_conv.py:48-173). In the dense QAT path the quantized tensors
+    (sum_i v_i*b_i) run through the MXU as a normal conv; the packed
+    binary-GEMM inference path consumes the same cached 'quant_state'
+    scales (see quant_tpu/ops/binary_gemm.py).
+    """
+
+    features: int
+    kernel_size: IntOr2
+    x_quant: str = 'fp'
+    w_quant: str = 'fp'
+    clamp: Optional[dict[str, Any]] = None
+    stride: IntOr2 = 1
+    padding: IntOr2 = 0
+    use_bias: bool = True
+    groups: int = 1
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    # 'dense'  — fp-simulated conv (the QAT/oracle path, reference
+    #            semantics). 'packed' — eval-mode forwards run the int8-MXU
+    #            multi-pass binary conv over bit-packed weight sign planes
+    #            (quant_tpu/ops/binary_infer.py). Training always uses the
+    #            dense path (gradients need the STE composition).
+    inference_mode: str = 'dense'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        validate_scheme(self.x_quant)
+        validate_scheme(self.w_quant)
+        clamp = dict(self.clamp) if self.clamp else {'kind': 'identity'}
+        clamp_fn = Q.get_clamp_fn(**clamp)
+
+        x_clamped = clamp_fn(x)
+        x_q, x_vs = ActivationQuantizer(
+            scheme=self.x_quant,
+            moving_average_mode=self.moving_average_mode,
+            moving_average_momentum=self.moving_average_momentum,
+            solver_mode=self.solver_mode,
+            name='x_quantizer',
+        )(x_clamped, train, return_scales=True)
+
+        kh, kw = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) \
+            else tuple(self.kernel_size)
+        cin = x.shape[-1]
+        kernel = self.param(
+            'kernel', torch_conv_kernel_init(),
+            (kh, kw, cin // self.groups, self.features))
+
+        # Quantize per out-channel: move O (trailing axis of HWIO) to the
+        # row axis for the quantizer, then restore.
+        w_oi = jnp.moveaxis(kernel, -1, 0)
+        w_oi_q, w_vs = WeightQuantizer(
+            scheme=self.w_quant, size=self.features,
+            solver_mode=self.solver_mode, name='w_quantizer',
+        )(w_oi, train, return_scales=True)
+        w_q = jnp.moveaxis(w_oi_q, 0, -1)
+
+        bias = None
+        if self.use_bias:
+            fan_in = (cin // self.groups) * kh * kw
+            bias = self.param('bias', torch_bias_init(fan_in),
+                              (self.features,))
+
+        use_packed = (self.inference_mode == 'packed' and not train
+                      and not self.is_initializing()
+                      and self.w_quant != 'fp' and self.groups == 1)
+        if use_packed:
+            from quant_tpu.ops import binary_infer as BI
+            planes = BI.weight_sign_planes(w_oi, self.w_quant, w_vs)
+            w_packed = jnp.stack([
+                BI.pack_weights(jnp.moveaxis(p, 0, -1)) for p in planes])
+            w_scales = BI.weight_scales_for_planes(self.w_quant, w_vs)
+            if self.x_quant == 'fp':
+                return BI.fp_activation_conv_infer(
+                    x_clamped, w_packed=w_packed, w_vs=w_scales,
+                    in_channels=cin, bias=bias, stride=self.stride,
+                    padding=self.padding)
+            return BI.quant_conv2d_infer(
+                x_clamped, x_scheme=self.x_quant, x_vs=x_vs,
+                w_packed=w_packed, w_vs=w_scales, in_channels=cin,
+                bias=bias, stride=self.stride, padding=self.padding)
+
+        return conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
+                      groups=self.groups, bias=bias)

@@ -1,0 +1,66 @@
+"""LeNet-5 model family (reference quant/models/lenet.py in apple/ml-quant).
+
+Structure parity (lenet.py:67-94): fp conv1 -> relu -> BN(affine=False,
+eps=1e-4) -> maxpool -> BN -> QUANTIZED conv2 -> relu -> maxpool -> fp fc1
+-> relu -> fp fc2 -> log_softmax. First and last layers stay full
+precision, the standard binary-net convention.
+
+TPU-first: NHWC layout; the flatten before fc1 therefore interleaves
+channels differently than torch's NCHW flatten — irrelevant to accuracy
+since fc1 is learned.
+"""
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from quant_tpu.nn.layers import BatchNorm, Conv, Dense, QuantConv2d
+from quant_tpu.ops.conv import max_pool2d
+
+
+class QLeNet5(nn.Module):
+    """LeNet-5 with a quantized second conv layer."""
+
+    conv1_filters: int = 20
+    conv2_filters: int = 50
+    output_classes: int = 10
+    x_quant: str = 'fp'
+    w_quant: str = 'fp'
+    clamp: Optional[dict[str, Any]] = None
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    inference_mode: str = 'dense'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # First layer full precision (reference lenet.py:80-83).
+        x = Conv(self.conv1_filters, 5, stride=1, name='conv1')(x)
+        x = BatchNorm(momentum=0.1, epsilon=1e-4, affine=False,
+                      name='bn_conv1')(nn.relu(x), train)
+        x = max_pool2d(x, kernel_size=2, stride=2)
+
+        # Quantized conv2 preceded by BN (reference lenet.py:85-86).
+        x = BatchNorm(momentum=0.1, epsilon=1e-4, affine=False,
+                      name='bn_conv2')(x, train)
+        x = QuantConv2d(
+            self.conv2_filters, 5,
+            x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
+            stride=1,
+            moving_average_mode=self.moving_average_mode,
+            moving_average_momentum=self.moving_average_momentum,
+            solver_mode=self.solver_mode,
+            inference_mode=self.inference_mode,
+            name='conv2',
+        )(x, train)
+        x = nn.relu(x)
+        x = max_pool2d(x, kernel_size=2, stride=2)
+
+        x = x.reshape(x.shape[0], -1)  # (N, 4*4*conv2_filters)
+        x = Dense(self.conv2_filters * self.output_classes, name='fc1')(x)
+        x = nn.relu(x)
+        # Last layer full precision (reference lenet.py:92-94).
+        x = Dense(self.output_classes, name='fc2')(x)
+        return jax.nn.log_softmax(x, axis=-1)

@@ -1,0 +1,209 @@
+"""QResNet model family (reference quant/models/resnet.py in apple/ml-quant).
+
+Parity map:
+  * RegularBasicBlock (resnet.py:28-97): conv->BN->nonlin ordering,
+    bias-free quantized 3x3 convs, fp 1x1+BN downsample shortcut.
+  * XnorBasicBlock (resnet.py:100-190): XNOR-Net BN->quant-conv->nonlin
+    ordering, biased 3x3 convs, optional Bi-Real double shortcut.
+  * QResNet (resnet.py:193-397): fp conv1 stem (+BN+relu+optional maxpool),
+    four stages of 2x-widening blocks with per-stage quant config, fp
+    global-avg-pool + linear head. Full-precision stem / shortcuts / head
+    is the standard binary-net accuracy recipe (Bi-Real Net).
+
+TPU-first: NHWC layout throughout; blocks are flax modules returning pure
+outputs; BN statistics live in 'batch_stats', quantizer scales in
+'quant_state'.
+"""
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+
+from quant_tpu.nn.layers import BatchNorm, Conv, QuantConv2d
+from quant_tpu.ops.conv import global_avg_pool, max_pool2d
+
+
+def _nonlin(name: str, module_name: str):
+    if name == 'relu':
+        return nn.relu
+    if name == 'prelu':
+        # torch PReLU: single shared slope initialized to 0.25.
+        return nn.PReLU(negative_slope_init=0.25, name=module_name)
+    if name == 'identity':
+        return lambda x: x
+    raise ValueError(f'Non-linearity {name} is not supported.')
+
+
+class _Shortcut(nn.Module):
+    """Full-precision 1x1 conv + BN downsample (reference resnet.py:78-89)."""
+
+    planes: int
+    stride: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if self.stride == 1 and x.shape[-1] == self.planes:
+            return x
+        y = Conv(self.planes, 1, stride=self.stride, use_bias=self.use_bias,
+                 name='conv')(x)
+        return BatchNorm(name='norm')(y, train)
+
+
+class RegularBasicBlock(nn.Module):
+    """conv->BN->nonlin basic block with quantized 3x3 convs."""
+
+    planes: int
+    x_quant: str
+    w_quant: str
+    nonlins: Sequence[str]
+    stride: int = 1
+    clamp: Optional[dict[str, Any]] = None
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    inference_mode: str = 'dense'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if len(self.nonlins) != 2:
+            raise ValueError('There should be 2 non-linearities.')
+        qconv = dict(
+            x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
+            moving_average_mode=self.moving_average_mode,
+            moving_average_momentum=self.moving_average_momentum,
+            solver_mode=self.solver_mode,
+            inference_mode=self.inference_mode, use_bias=False, padding=1,
+        )
+        out = QuantConv2d(self.planes, 3, stride=self.stride,
+                          name='conv1', **qconv)(x, train)
+        out = _nonlin(self.nonlins[0], 'nonlin1')(
+            BatchNorm(name='bn1')(out, train))
+        out = QuantConv2d(self.planes, 3, stride=1,
+                          name='conv2', **qconv)(out, train)
+        out = BatchNorm(name='bn2')(out, train)
+        out = out + _Shortcut(self.planes, self.stride, use_bias=False,
+                              name='shortcut')(x, train)
+        return _nonlin(self.nonlins[1], 'nonlin2')(out)
+
+
+class XnorBasicBlock(nn.Module):
+    """BN->quant-conv->nonlin block (XNOR-Net ordering), optional Bi-Real
+    double shortcut (reference resnet.py:100-190)."""
+
+    planes: int
+    x_quant: str
+    w_quant: str
+    nonlins: Sequence[str]
+    stride: int = 1
+    double_shortcut: bool = False
+    clamp: Optional[dict[str, Any]] = None
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    inference_mode: str = 'dense'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if len(self.nonlins) != 2:
+            raise ValueError('There should be 2 non-linearities.')
+        qconv = dict(
+            x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
+            moving_average_mode=self.moving_average_mode,
+            moving_average_momentum=self.moving_average_momentum,
+            solver_mode=self.solver_mode,
+            inference_mode=self.inference_mode, use_bias=True, padding=1,
+        )
+        shortcut = _Shortcut(self.planes, self.stride, use_bias=True,
+                             name='shortcut')
+
+        out1 = BatchNorm(name='bn1')(x, train)
+        out1 = QuantConv2d(self.planes, 3, stride=self.stride,
+                           name='conv1', **qconv)(out1, train)
+        out1 = _nonlin(self.nonlins[0], 'nonlin1')(out1)
+        if self.double_shortcut:
+            out1 = out1 + shortcut(x, train)
+
+        out2 = BatchNorm(name='bn2')(out1, train)
+        out2 = QuantConv2d(self.planes, 3, stride=1,
+                           name='conv2', **qconv)(out2, train)
+        if self.double_shortcut:
+            return _nonlin(self.nonlins[1], 'nonlin2')(out2) + out1
+        out2 = out2 + shortcut(x, train)
+        return _nonlin(self.nonlins[1], 'nonlin2')(out2)
+
+
+_BLOCKS = {'regular': RegularBasicBlock, 'xnor': XnorBasicBlock}
+
+
+class QResNet(nn.Module):
+    """ResNet with per-stage quantization config.
+
+    Constructor args mirror the reference's YAML arch_config
+    (resnet.py:216-247): layer0 configures the fp stem, layer1..layer4 each
+    carry {x_quant, w_quant, clamp, double_shortcut?} for their stage,
+    num_blocks the per-stage depth, nonlins the two block non-linearities.
+    """
+
+    block: str
+    layer0: dict[str, Any]
+    layer1: dict[str, Any]
+    layer2: dict[str, Any]
+    layer3: dict[str, Any]
+    layer4: Optional[dict[str, Any]]
+    nonlins: Sequence[str]
+    num_blocks: Sequence[int]
+    output_classes: int
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    inference_mode: str = 'dense'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.block not in _BLOCKS:
+            raise ValueError(f'Block {self.block} is not supported.')
+        block_cls = _BLOCKS[self.block]
+
+        width = self.layer0['n_in_channels']
+        x = Conv(width, self.layer0['kernel_size'],
+                 stride=self.layer0['stride'], padding=self.layer0['padding'],
+                 use_bias=self.layer0['bias'], name='conv1')(x)
+        x = nn.relu(BatchNorm(name='bn1')(x, train))
+        mp = self.layer0['maxpool']
+        if mp['type'] == 'maxpool2d':
+            x = max_pool2d(x, kernel_size=mp['kernel_size'],
+                           stride=mp['stride'], padding=mp['padding'])
+        elif mp['type'] != 'identity':
+            raise ValueError(f"maxpool type {mp['type']} is not supported.")
+
+        stages = [(self.layer1, width, 1), (self.layer2, 2 * width, 2),
+                  (self.layer3, 4 * width, 2)]
+        if self.layer4 is not None:
+            stages.append((self.layer4, 8 * width, 2))
+
+        for s, (cfg, planes, first_stride) in enumerate(stages):
+            cfg = dict(cfg)
+            block_kwargs = dict(
+                planes=planes,
+                x_quant=cfg.pop('x_quant'),
+                w_quant=cfg.pop('w_quant'),
+                clamp=cfg.pop('clamp', None),
+                nonlins=tuple(self.nonlins),
+                moving_average_mode=self.moving_average_mode,
+                moving_average_momentum=self.moving_average_momentum,
+                solver_mode=self.solver_mode,
+            inference_mode=self.inference_mode,
+                **cfg,  # e.g. double_shortcut for xnor blocks
+            )
+            for b in range(self.num_blocks[s]):
+                x = block_cls(
+                    stride=first_stride if b == 0 else 1,
+                    name=f'layer{s + 1}_block{b}',
+                    **block_kwargs,
+                )(x, train)
+
+        x = global_avg_pool(x)
+        from quant_tpu.nn.layers import Dense
+        return Dense(self.output_classes, name='fc')(x)

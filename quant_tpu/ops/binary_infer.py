@@ -1,0 +1,202 @@
+"""Fast binary-conv inference paths.
+
+The dense QAT conv (quant_tpu/ops/conv.py) simulates quantization in fp32,
+exactly like the reference (binary_conv.py:161-173). These are the
+production inference paths the reference lacks:
+
+* MXU sign-plane path (`binary_conv_int8`): sign planes as {-1,+1}
+  tensors in SIGN_COMPUTE_DTYPE; the conv runs on the MXU with exact f32
+  accumulation and the least-squares scale epilogue fused by XLA. Weights
+  live bit-packed in HBM and are unpacked on the fly (32x less weight HBM
+  traffic).
+
+* Multi-pass composition (`quant_conv2d_infer`): a k_a-bit activation
+  against a k_w-bit weight decomposes into k_a*k_w binary convs with a
+  rank-1 scale epilogue:
+      y = sum_{i,j} (vx_i ⊗ vw_j) * conv(bx_i, bw_j)
+  with vx per-sample and vw per-out-channel. For ls-T both passes share
+  one scale; for ls-2 the second activation plane is sign(x - v1*b1).
+
+Layouts: NHWC activations, HWIO weights, matching the rest of the stack.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from quant_tpu.ops.conv import conv2d
+from quant_tpu.ops.packing import pack_signs, unpack_signs
+from quant_tpu.ops.ste import binary_sign
+
+# Compute dtype for sign-plane convs. bf16 is the robust default: +-1 is
+# exact in bf16, products are +-1, and f32 accumulation is integer-exact
+# up to 2^24 MACs — far above any conv reduction here — at full MXU bf16
+# rate. int8 (2x MXU rate on v5e) is preferable where the toolchain
+# supports s8xs8->s32 convs, but the axon remote compiler in this
+# environment hangs on them (see .claude/skills/verify/SKILL.md).
+SIGN_COMPUTE_DTYPE = jnp.bfloat16
+
+
+def weight_sign_planes(w_oi: jax.Array, scheme: str,
+                       vs: jax.Array) -> list[jax.Array]:
+    """Decompose a weight tensor (O leading) into its binary sign planes.
+
+    vs: (k_w, O) cached per-out-channel scales. Returns [plane_j] with
+    w_q = sum_j vs[j] * plane_j, each plane in {-1,+1} with O leading.
+    """
+    o = w_oi.shape[0]
+
+    def per_row(v):
+        return v.reshape((o,) + (1,) * (w_oi.ndim - 1))
+
+    if scheme == 'ls-1':
+        return [binary_sign(w_oi)]
+    if scheme in ('ls-2', 'ls-T'):
+        b1 = binary_sign(w_oi)
+        b2 = binary_sign(w_oi - per_row(vs[0]) * b1)
+        return [b1, b2]
+    if scheme.startswith('gf-'):
+        k = int(scheme.split('-')[1])
+        planes = []
+        result = jnp.zeros_like(w_oi)
+        for j in range(k):
+            b = binary_sign(w_oi - result)
+            planes.append(b)
+            result = result + per_row(vs[j]) * b
+        return planes
+    raise ValueError(f'No binary decomposition for scheme {scheme}')
+
+
+def weight_scales_for_planes(scheme: str, vs: jax.Array) -> jax.Array:
+    """Scale stack matching weight_sign_planes' planes ((k_w_planes, O)).
+
+    ls-T shares one scale across both planes (reference
+    quantization.py:109-115)."""
+    if scheme == 'ls-T':
+        return jnp.stack([vs[0], vs[0]])
+    return vs
+
+
+def pack_weights(w: jax.Array) -> jax.Array:
+    """Pack an HWIO weight's signs along I: (kh,kw,I,O) -> (kh,kw,Wd,O) i32."""
+    w_t = jnp.moveaxis(w, 2, -1)          # (kh, kw, O, I)
+    packed = pack_signs(w_t)              # (kh, kw, O, Wd)
+    return jnp.moveaxis(packed, -1, 2)    # (kh, kw, Wd, O)
+
+
+def unpack_weights_int8(packed: jax.Array, in_channels: int,
+                        dtype=SIGN_COMPUTE_DTYPE) -> jax.Array:
+    """Unpack packed HWIO-sign words to a {-1,+1} HWIO tensor."""
+    p_t = jnp.moveaxis(packed, 2, -1)     # (kh, kw, O, Wd)
+    signs = unpack_signs(p_t, in_channels, dtype=dtype)
+    return jnp.moveaxis(signs, -1, 2)     # (kh, kw, I, O)
+
+
+def binary_conv_int8(x_signs: jax.Array, w_signs: jax.Array, *,
+                     stride=1, padding=0) -> jax.Array:
+    """Sign-plane conv on the MXU with exact f32 accumulation."""
+    return conv2d(x_signs, w_signs, stride=stride, padding=padding,
+                  preferred_element_type=jnp.float32)
+
+
+def activation_sign_planes(x: jax.Array, scheme: str,
+                           vs: jax.Array) -> tuple[list, list]:
+    """Decompose an activation tensor into (sign planes int8, scale list).
+
+    vs: (k, N) per-sample scales (from the quantizer EMA / batch solve).
+    Returns ([plane_i int8 NHWC], [v_i (N,)]) such that
+    x_q = sum_i v_i * plane_i.
+    """
+    n = x.shape[0]
+
+    def per_sample(v):
+        return v.reshape((n,) + (1,) * (x.ndim - 1))
+
+    if scheme == 'ls-1':
+        return [binary_sign(x).astype(SIGN_COMPUTE_DTYPE)], [vs[0]]
+    if scheme == 'ls-2':
+        b1 = binary_sign(x)
+        b2 = binary_sign(x - per_sample(vs[0]) * b1)
+        return ([b1.astype(SIGN_COMPUTE_DTYPE), b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[1]])
+    if scheme == 'ls-T':
+        b1 = binary_sign(x)
+        b2 = binary_sign(x - per_sample(vs[0]) * b1)
+        return ([b1.astype(SIGN_COMPUTE_DTYPE), b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[0]])
+    if scheme.startswith('gf-'):
+        k = int(scheme.split('-')[1])
+        planes, scales = [], []
+        result = jnp.zeros_like(x)
+        for i in range(k):
+            b = binary_sign(x - result)
+            planes.append(b.astype(SIGN_COMPUTE_DTYPE))
+            scales.append(vs[i])
+            result = result + per_sample(vs[i]) * b
+        return planes, scales
+    raise ValueError(f'No binary decomposition for scheme {scheme}')
+
+
+def quant_conv2d_infer(x: jax.Array, *,
+                       x_scheme: str, x_vs: jax.Array,
+                       w_packed: jax.Array, w_vs: jax.Array,
+                       in_channels: int,
+                       bias: Optional[jax.Array] = None,
+                       stride=1, padding=0,
+                       clamp_fn=None) -> jax.Array:
+    """Full packed-weight quantized conv: multi-pass binary convs + epilogue.
+
+    Args:
+        x: fp NHWC activations (pre-clamp).
+        x_scheme / x_vs: activation scheme and (k_a, N) scales.
+        w_packed: (kh, kw, ceil(I/32), O) packed weight sign words
+            (one plane per weight bit is stacked on a leading axis for
+            k_w > 1: shape (k_w, kh, kw, Wd, O)).
+        w_vs: (k_w, O) per-out-channel weight scales.
+        in_channels: unpacked I.
+    """
+    if clamp_fn is not None:
+        x = clamp_fn(x)
+    if w_packed.ndim == 4:
+        w_packed = w_packed[None]
+    k_w = w_packed.shape[0]
+
+    x_planes, x_scales = activation_sign_planes(x, x_scheme, x_vs)
+    n = x.shape[0]
+
+    acc = None
+    for j in range(k_w):
+        w_signs = unpack_weights_int8(w_packed[j], in_channels)
+        for i, (bx, vx) in enumerate(zip(x_planes, x_scales)):
+            y = binary_conv_int8(bx, w_signs, stride=stride, padding=padding)
+            scale = (vx.reshape(n, 1, 1, 1).astype(jnp.float32)
+                     * w_vs[j].reshape(1, 1, 1, -1).astype(jnp.float32))
+            term = y.astype(jnp.float32) * scale
+            acc = term if acc is None else acc + term
+    if bias is not None:
+        acc = acc + bias
+    return acc
+
+
+def fp_activation_conv_infer(x: jax.Array, *,
+                             w_packed: jax.Array, w_vs: jax.Array,
+                             in_channels: int,
+                             bias: Optional[jax.Array] = None,
+                             stride=1, padding=0,
+                             clamp_fn=None) -> jax.Array:
+    """fp activations x binary weights: bf16 conv against unpacked signs
+    with the per-channel scale epilogue (the k_a=32, k_w=1 configs)."""
+    if clamp_fn is not None:
+        x = clamp_fn(x)
+    if w_packed.ndim == 4:
+        w_packed = w_packed[None]
+    acc = None
+    for j in range(w_packed.shape[0]):
+        w_signs = unpack_weights_int8(
+            w_packed[j], in_channels).astype(jnp.bfloat16)
+        y = conv2d(x.astype(jnp.bfloat16), w_signs, stride=stride,
+                   padding=padding, preferred_element_type=jnp.float32)
+        term = y * w_vs[j].reshape(1, 1, 1, -1)
+        acc = term if acc is None else acc + term
+    if bias is not None:
+        acc = acc + bias
+    return acc

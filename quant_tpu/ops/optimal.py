@@ -1,0 +1,168 @@
+"""Least-squares-optimal v1 solver for the 2-bit and ternary quantizers.
+
+Computes, independently for each row of a 2D matrix, the scale v1 minimizing
+the k=2 (or ternary) least-squares quantization cost of the paper
+(Pouransari et al., CVPR-W 2020, eq. 8/9). The reference solver lives at
+quant/binary/optimal.py:121-155 in apple/ml-quant.
+
+Two modes:
+
+* ``mode='exact'`` (default): the TRUE global optimum. For sorted
+  magnitudes a_1 <= ... <= a_M, the cost as a function of v is piecewise
+  convex-quadratic on each interval [a_p, a_{p+1}]; the stationary point of
+  each piece has a closed form in the prefix sums (for the 2-bit cost it is
+  0.5*(left_mean + right_mean); for ternary it is 0.5*right_mean — exactly
+  the m1s/m2s quantities of the reference's compute_mask, optimal.py:55-83).
+  Clipping each stationary point into its interval and taking the argmin of
+  the closed-form costs yields the exact continuous optimum in O(M log M)
+  per row. This strictly improves on the reference, which restricts
+  candidates to *data values* where a stationarity test passes.
+
+* ``mode='reference'``: bit-level behavioral parity with the reference:
+  candidates are the sorted data values at interior positions [1:-1] where
+  the stationarity condition holds, the ternary min>mean/2 edge case appends
+  mean/2 (optimal.py:86-118), and rows with no candidate fall back to v=0
+  (the reference's zero-padding of its ragged candidate list).
+
+TPU-first redesign in both modes — this is NOT a transliteration: the
+reference materializes a ragged candidate list (masked_select + split +
+pad_sequence) and evaluates each candidate's cost with a full O(M) pass
+(cost_function, optimal.py:16-38). Ragged shapes do not jit; here every
+candidate cost is evaluated in closed form from prefix sums:
+
+    r_k  = |a_k - v|                       (residual magnitudes)
+    S_r  = v*(2p - M) + C_M - 2*C_p        (p = #a_k <= v)
+    S_r2 = A2 - 2*v*C_M + M*v^2            (A2 = sum a_k^2)
+    cost^2 = S_r2 - S_r^2/M                (2-bit, v2 = mean r)
+    cost^2 = S_r2 - 2*v*S_r + M*v^2        (ternary, v2 = v)
+
+so the whole solve is sort + cumsum + elementwise + argmin: fixed shapes,
+one fused XLA kernel, no data-dependent control flow.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def _candidate_costs(m: int, v: jax.Array, prefix_count: jax.Array,
+                     prefix_sum: jax.Array, total_sum: jax.Array,
+                     total_sq: jax.Array, ternary: bool) -> jax.Array:
+    """Closed-form LS cost^2 of candidates v (see module docstring)."""
+    s_r = v * (2.0 * prefix_count - m) + total_sum - 2.0 * prefix_sum
+    s_r2 = total_sq - 2.0 * v * total_sum + m * v * v
+    if ternary:
+        return s_r2 - 2.0 * v * s_r + m * v * v
+    return s_r2 - (s_r * s_r) / m
+
+
+def _sorted_stats(matrix: jax.Array, skip: int):
+    x = jax.lax.stop_gradient(matrix.astype(jnp.float32))
+    a = jnp.sort(jnp.abs(x[..., ::skip]), axis=-1)  # (R, M) ascending
+    c = jnp.cumsum(a, axis=-1)
+    return a, c, c[:, -1:], jnp.sum(a * a, axis=-1, keepdims=True)
+
+
+def _opt_v1_exact(a, c, total_sum, total_sq, ternary: bool) -> jax.Array:
+    r, m = a.shape
+    # Split p = number of magnitudes <= v, for p = 1..M-1 (interval
+    # [a_{p-1}, a_p]) plus p = 0 (interval [0, a_0], ternary only — the
+    # 2-bit cost is constant below a_0).
+    p = jnp.arange(1, m, dtype=a.dtype)[None, :]            # (1, M-1)
+    s_p = c[:, :-1]                                          # (R, M-1)
+    if ternary:
+        stat = (total_sum - s_p) / (2.0 * (m - p))
+    else:
+        stat = (p * total_sum - 2.0 * p * s_p + m * s_p) / (2.0 * p * (m - p))
+    v = jnp.clip(stat, a[:, :-1], a[:, 1:])
+    costs = _candidate_costs(m, v, p, s_p, total_sum, total_sq, ternary)
+
+    if ternary:
+        v0 = jnp.clip(total_sum / (2.0 * m), 0.0, a[:, :1])
+        zeros = jnp.zeros((r, 1), a.dtype)
+        cost0 = _candidate_costs(m, v0, zeros, zeros,
+                                 total_sum, total_sq, True)
+        v = jnp.concatenate([v0, v], axis=-1)
+        costs = jnp.concatenate([cost0, costs], axis=-1)
+
+    best = jnp.argmin(costs, axis=-1)
+    return jnp.take_along_axis(v, best[:, None], axis=-1)[:, 0]
+
+
+def _opt_v1_reference(a, c, total_sum, total_sq, ternary: bool) -> jax.Array:
+    r, m = a.shape
+    cand_vals, cand_costs = [], []
+
+    if m >= 3:
+        # Interior positions i = 1..M-2 (reference slices values[:, 1:-1]);
+        # candidates are the sorted data values a_i where the stationarity
+        # test against m1s/m2s passes (reference compute_mask).
+        interior, nxt = a[:, 1:-1], a[:, 2:]
+        left_mean = (c / jnp.arange(1, m + 1, dtype=a.dtype))[:, 1:-1]
+        right_count = jnp.arange(m - 1, -1, -1, dtype=a.dtype).at[-1].set(1.0)
+        right_mean = ((total_sum - c) / right_count)[:, 1:-1]
+
+        m2 = 0.5 * right_mean
+        mask = (interior <= m2) & (m2 <= nxt)
+        if not ternary:
+            m1 = 0.5 * (left_mean + right_mean)
+            mask = mask | ((interior <= m1) & (m1 <= nxt))
+
+        costs = _candidate_costs(
+            m, interior,
+            prefix_count=jnp.arange(2, m, dtype=a.dtype)[None, :],
+            prefix_sum=c[:, 1:-1],
+            total_sum=total_sum, total_sq=total_sq, ternary=ternary,
+        )
+        cand_vals.append(interior)
+        cand_costs.append(jnp.where(mask, costs, jnp.inf))
+        has_candidate = jnp.any(mask, axis=-1, keepdims=True)
+    else:
+        has_candidate = jnp.zeros((r, 1), dtype=bool)
+
+    if ternary:
+        # Edge case: optimum below min(|row|); candidate v = mean/2, active
+        # iff min > mean/2 (reference optimal.py:86-118).
+        v_edge = total_sum / (2.0 * m)
+        edge_active = a[:, :1] > v_edge
+        zeros = jnp.zeros((r, 1), a.dtype)
+        edge_cost = _candidate_costs(m, v_edge, zeros, zeros,
+                                     total_sum, total_sq, True)
+        cand_vals.append(v_edge)
+        cand_costs.append(jnp.where(edge_active, edge_cost, jnp.inf))
+        has_candidate = has_candidate | edge_active
+
+    # Fallback v = 0 for rows with no candidate at all (the reference pads
+    # its ragged candidate list with zeros, optimal.py:147-148).
+    zero = jnp.zeros((r, 1), a.dtype)
+    zero_cost = _candidate_costs(m, zero, zero, zero,
+                                 total_sum, total_sq, ternary)
+    cand_vals.append(zero)
+    cand_costs.append(jnp.where(has_candidate, jnp.inf, zero_cost))
+
+    vals = jnp.concatenate(cand_vals, axis=-1)
+    costs = jnp.concatenate(cand_costs, axis=-1)
+    best = jnp.argmin(costs, axis=-1)
+    return jnp.take_along_axis(vals, best[:, None], axis=-1)[:, 0]
+
+
+def opt_v1(matrix: jax.Array, ternary: bool, skip: int = 1,
+           mode: str = 'exact') -> jax.Array:
+    """Optimal per-row v1 for the ls-2 / ls-T quantizers.
+
+    Args:
+        matrix: 2D array (rows, features); each row is solved independently.
+        ternary: solve the ternary (v2 = v1) variant instead of 2-bit.
+        skip: static column stride subsampling the solve (reference
+            optimal.py:134; weight/activation callers use 3).
+        mode: 'exact' (true continuous optimum, default) or 'reference'
+            (bit-parity with the reference's candidate selection).
+
+    Returns:
+        v1 of shape (rows,), float32, gradients stopped.
+    """
+    a, c, total_sum, total_sq = _sorted_stats(matrix, skip)
+    if mode == 'exact':
+        return _opt_v1_exact(a, c, total_sum, total_sq, ternary)
+    if mode == 'reference':
+        return _opt_v1_reference(a, c, total_sum, total_sq, ternary)
+    raise ValueError(f"opt_v1 mode must be 'exact' or 'reference', got {mode}")

@@ -1,0 +1,173 @@
+"""Jitted train/eval steps and epoch drivers.
+
+The reference's per-batch loop (quant/common/training.py:66-204) does:
+to(device) -> zero_grad -> forward -> (teacher forward) -> loss ->
+backward -> optimizer.step -> scheduler.step (per batch) -> metric updates
+-> hooks. Here the whole batch program — forward (with quantizer-state and
+BN-state updates), loss, gradient, optimizer update, metric update, and
+for KD the teacher forward — is ONE jitted XLA computation; the host loop
+only feeds batches and fires hooks.
+
+Sharding: `make_train_step(..., mesh=...)` installs batch-axis input
+shardings so the same step runs single-chip or data-parallel over a
+`jax.sharding.Mesh`; gradient/metric psums are inserted by GSPMD (the
+TPU-native replacement for the reference's nn.DataParallel,
+initialization.py:125-127).
+"""
+
+import logging
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from quant_tpu.train.metrics import (
+    MetricAccumulator, init_metric_state, update_metric_state,
+)
+from quant_tpu.train.state import TrainState
+
+logger = logging.getLogger(__name__)
+
+Hook = Callable[..., None]
+
+
+def _mutable_collections(state: TrainState) -> list[str]:
+    cols = []
+    if state.batch_stats is not None:
+        cols.append('batch_stats')
+    if state.quant_state is not None:
+        cols.append('quant_state')
+    return cols
+
+
+def make_train_step(loss_fn: Callable,
+                    teacher_apply: Optional[Callable] = None,
+                    mesh: Optional[jax.sharding.Mesh] = None,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    Args:
+        loss_fn: (output, target) -> scalar, or with a teacher
+            (output, teacher_output, target) -> scalar.
+        teacher_apply: optional frozen-teacher forward: (data) -> logits
+            (already closed over teacher variables; runs inside the same
+            XLA program as the student step, SURVEY.md hard-part 5).
+        mesh: optional mesh for data-parallel input sharding.
+        donate: donate the input state buffers (halves HBM traffic).
+    """
+
+    def step(state: TrainState, data: jax.Array, target: jax.Array,
+             metric_state: dict) -> tuple[TrainState, dict, jax.Array]:
+        def loss_for(params):
+            variables = {'params': params,
+                         'batch_stats': state.batch_stats,
+                         'quant_state': state.quant_state}
+            output, mut = state.apply_fn(
+                variables, data, True,
+                mutable=['batch_stats', 'quant_state'])
+            if teacher_apply is None:
+                loss = loss_fn(output, target)
+                t_out = None
+            else:
+                t_out = teacher_apply(data)
+                loss = loss_fn(output, t_out, target)
+            return loss, (output, mut)
+
+        (loss, (output, mut)), grads = jax.value_and_grad(
+            loss_for, has_aux=True)(state.params)
+        updates, new_opt_state = state.tx.update(grads, state.opt_state,
+                                                 state.params)
+        import optax
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=mut.get('batch_stats', state.batch_stats),
+            quant_state=mut.get('quant_state', state.quant_state),
+            opt_state=new_opt_state,
+        )
+        new_metrics = update_metric_state(metric_state, loss, output, target)
+        return new_state, new_metrics, loss
+
+    kwargs: dict[str, Any] = {}
+    if donate:
+        kwargs['donate_argnums'] = (0, 3)
+    if mesh is not None:
+        # Constrain only the batch inputs; the state keeps whatever
+        # shardings it was placed with (replicated for pure DP,
+        # out-channel-sharded for TP) and GSPMD propagates from there.
+        from quant_tpu.parallel.sharding import batch_sharding
+        kwargs['in_shardings'] = (None, batch_sharding(mesh),
+                                  batch_sharding(mesh), None)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(loss_fn: Callable,
+                   mesh: Optional[jax.sharding.Mesh] = None) -> Callable:
+    """Build the jitted eval step (no state mutation, cached quant scales)."""
+
+    def step(state: TrainState, data: jax.Array, target: jax.Array,
+             metric_state: dict) -> tuple[dict, jax.Array]:
+        output = state.apply_fn(state.model_variables, data, False)
+        loss = loss_fn(output, target)
+        return update_metric_state(metric_state, loss, output, target), output
+
+    kwargs: dict[str, Any] = {}
+    if mesh is not None:
+        from quant_tpu.parallel.sharding import batch_sharding
+        kwargs['in_shardings'] = (None, batch_sharding(mesh),
+                                  batch_sharding(mesh), None)
+    return jax.jit(step, **kwargs)
+
+
+def train_epoch(train_step: Callable, state: TrainState,
+                loader: Iterable, epoch: int, log_interval: int = 10,
+                hooks: Optional[list[Hook]] = None,
+                lr_schedule: Optional[Callable] = None,
+                steps_per_epoch: Optional[int] = None,
+                ) -> tuple[TrainState, dict[str, float]]:
+    """Run one training epoch; returns (new state, computed metrics)."""
+    hooks = hooks or []
+    metrics = MetricAccumulator()
+    metric_state = metrics.state
+    seen = 0
+    n_total = getattr(loader, 'num_examples', None)
+    for batch_idx, (data, target) in enumerate(loader):
+        data = jnp.asarray(data)
+        target = jnp.asarray(target)
+        state, metric_state, loss = train_step(state, data, target,
+                                               metric_state)
+        seen += data.shape[0]
+        global_step = 1 + (epoch - 1) * (steps_per_epoch or 0) + batch_idx
+        for hook in hooks:
+            lr = (float(lr_schedule(int(state.step) - 1))
+                  if lr_schedule else None)
+            hook(epoch=epoch, global_step=global_step,
+                 values_dict={'lr': lr}, log_interval=log_interval)
+        if batch_idx % log_interval == 0:
+            logger.info('Train Epoch: %d [%d/%s]\tBatch Loss: %.6f',
+                        epoch, seen, n_total or '?', float(loss))
+    metrics.state = metric_state
+    computed = metrics.compute()
+    logger.info('Training set evaluation metrics: %s', computed)
+    return state, computed
+
+
+def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
+             epoch: int = 1,
+             hooks: Optional[list[Hook]] = None) -> dict[str, float]:
+    """Evaluate on a held-out set; returns computed metrics."""
+    hooks = hooks or []
+    metrics = MetricAccumulator()
+    metric_state = metrics.state
+    batch_idx = 0
+    for batch_idx, (data, target) in enumerate(loader):
+        data = jnp.asarray(data)
+        target = jnp.asarray(target)
+        metric_state, _ = eval_step(state, data, target, metric_state)
+    for hook in hooks:
+        hook(epoch=epoch, global_step=batch_idx + 1)
+    metrics.state = metric_state
+    computed = metrics.compute()
+    logger.info('Test set evaluation metrics: %s', computed)
+    return computed

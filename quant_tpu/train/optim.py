@@ -1,0 +1,105 @@
+"""Optimizers and per-step LR schedules (optax).
+
+Reference parity (quant/common/initialization.py:134-216):
+  * optimizers: sgd / adam / adadelta with torch default hyperparameters
+    (Adam betas (0.9, 0.999) eps 1e-8; Adadelta rho 0.9 eps 1e-6; L2-style
+    weight_decay folded into the gradient BEFORE the moment updates, which
+    is torch's semantics — hence `add_decayed_weights` ahead of the
+    transform, not decoupled AdamW-style decay).
+  * schedules are stepped PER BATCH, not per epoch (training.py:119), so
+    epoch-denominated config params are rescaled by steps_per_epoch
+    (step_lr step_size, multi_step_lr milestones) exactly as the reference
+    does, and linear_lr reproduces quant/utils/linear_lr_scheduler.py:42-54.
+  * lambda_lr evaluates a Python expression from the config into a
+    step->multiplier function (the reference quirk, initialization.py:209).
+"""
+
+import copy
+from typing import Callable
+
+import optax
+
+
+def make_lr_schedule(config: dict, epochs: int,
+                     steps_per_epoch: int) -> Callable[[int], float]:
+    """Build a step-indexed LR schedule from a reference-schema config."""
+    config = copy.deepcopy(config)
+    kind = config.pop('scheduler')
+    lr0 = float(config.pop('lr'))
+
+    if kind == 'linear_lr':
+        min_lr = float(config['min_lr'])
+        total_steps = max((epochs - 1) * steps_per_epoch, 1)
+
+        def schedule(step):
+            import jax.numpy as jnp
+            lr = lr0 - step / total_steps * (lr0 + min_lr)
+            return jnp.maximum(lr, min_lr)
+        return schedule
+
+    if kind == 'step_lr':
+        step_size = int(config['step_size']) * steps_per_epoch
+        gamma = float(config['gamma'])
+        return lambda step: lr0 * gamma ** (step // step_size)
+
+    if kind == 'multi_step_lr':
+        gamma = float(config['gamma'])
+        milestones = sorted(int(m) * steps_per_epoch
+                            for m in config['milestones'])
+
+        def schedule(step):
+            import jax.numpy as jnp
+            n = sum((step >= m).astype('int32') if hasattr(step, 'dtype')
+                    else (step >= m) for m in milestones)
+            return lr0 * gamma ** n
+        return schedule
+
+    if kind == 'lambda_lr':
+        fn = eval(config['lr_lambda'])  # noqa: S307 (reference behavior)
+        return lambda step: lr0 * fn(step)
+
+    raise ValueError(f'LR scheduler {kind} is not supported.')
+
+
+def make_optimizer(config: dict, epochs: int,
+                   steps_per_epoch: int) -> tuple[optax.GradientTransformation,
+                                                  Callable[[int], float]]:
+    """Build (optax transform, lr schedule) from reference-schema configs.
+
+    `config` is the merged {optimizer: {...}, lr_scheduler: {...}} section;
+    the optimizer's base lr seeds the schedule.
+    """
+    opt_cfg = copy.deepcopy(config['optimizer'])
+    algorithm = opt_cfg.pop('algorithm')
+    lr0 = float(opt_cfg.pop('lr', 1.0))
+    weight_decay = float(opt_cfg.pop('weight_decay', 0.0))
+
+    sched_cfg = dict(copy.deepcopy(config.get(
+        'lr_scheduler', {'scheduler': 'step_lr', 'step_size': 10 ** 9,
+                         'gamma': 1.0})))
+    sched_cfg['lr'] = lr0
+    schedule = make_lr_schedule(sched_cfg, epochs, steps_per_epoch)
+
+    if algorithm == 'sgd':
+        momentum = float(opt_cfg.pop('momentum', 0.0))
+        nesterov = bool(opt_cfg.pop('nesterov', False))
+        core = optax.sgd(learning_rate=schedule,
+                         momentum=momentum if momentum else None,
+                         nesterov=nesterov)
+    elif algorithm == 'adam':
+        betas = opt_cfg.pop('betas', (0.9, 0.999))
+        eps = float(opt_cfg.pop('eps', 1e-8))
+        core = optax.adam(learning_rate=schedule, b1=float(betas[0]),
+                          b2=float(betas[1]), eps=eps)
+    elif algorithm == 'adadelta':
+        rho = float(opt_cfg.pop('rho', 0.9))
+        eps = float(opt_cfg.pop('eps', 1e-6))
+        core = optax.adadelta(learning_rate=schedule, rho=rho, eps=eps)
+    else:
+        raise ValueError(f'Optimizer {algorithm} is not supported.')
+
+    if weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), core)
+    else:
+        tx = core
+    return tx, schedule

@@ -1,0 +1,264 @@
+"""Classification task driver (reference quant/common/tasks.py).
+
+Wires config -> mesh -> data -> (teacher + KD) -> model -> optimizer/
+schedule -> restore -> epoch loop of train+evaluate -> periodic
+checkpoints, mirroring classification_task (tasks.py:85-232) with the
+functional state threading of this framework.
+"""
+
+import logging
+from pathlib import Path
+from typing import Callable, Optional, Type
+
+import jax
+import jax.numpy as jnp
+import yaml
+
+from quant_tpu.data import DATASET_REGISTRY, QuantDataLoader
+from quant_tpu.nn import MODEL_REGISTRY
+from quant_tpu.parallel import make_mesh
+from quant_tpu.train.engine import (
+    evaluate, make_eval_step, make_train_step, train_epoch,
+)
+from quant_tpu.train.kd import kd_criterion
+from quant_tpu.train.losses import get_loss_fn
+from quant_tpu.train.optim import make_optimizer
+from quant_tpu.train.state import TrainState
+from quant_tpu.utils.checkpoints import (
+    get_path_to_checkpoint, restore_checkpoint, save_checkpoint,
+)
+from quant_tpu.utils.logging_utils import init_logging
+
+logger = logging.getLogger(__name__)
+
+
+def build_model(architecture: str, arch_config: dict):
+    """Instantiate a model from the registry (reference
+    initialization.py:97-131, minus the DataParallel wrap)."""
+    try:
+        model_cls = MODEL_REGISTRY[architecture]
+    except KeyError:
+        raise ValueError(f'Model architecture {architecture} is not found.')
+    return model_cls(**arch_config)
+
+
+def init_model_variables(model, sample_input, seed: Optional[int]) -> dict:
+    key = jax.random.key(0 if seed is None else seed)
+    return model.init(key, jnp.asarray(sample_input), True)
+
+
+def _restore_into(variables: dict, ckpt_payload: dict,
+                  strict_keys: bool = True) -> dict:
+    """Merge restored model collections into freshly-initialized variables.
+
+    With strict_keys=False missing/mismatched leaves keep their fresh
+    values (reference checkpoints.py:86-89 semantics)."""
+    out = dict(variables)
+    for col in ('params', 'batch_stats', 'quant_state'):
+        if col in ckpt_payload and col in out:
+            if strict_keys:
+                out[col] = jax.tree.map(lambda new, old: jnp.asarray(new),
+                                        ckpt_payload[col], out[col])
+            else:
+                merged = dict(jax.tree_util.tree_flatten_with_path(out[col]))
+                try:
+                    out[col] = jax.tree.map(
+                        lambda new, old: jnp.asarray(new),
+                        ckpt_payload[col], out[col])
+                except ValueError:
+                    logger.warning('Non-strict restore: structure mismatch '
+                                   'in %s; keeping fresh values where '
+                                   'missing', col)
+                    del merged
+    return out
+
+
+def get_teacher_apply(kd_config: dict, sample_input,
+                      seed: Optional[int]) -> tuple[Callable, Callable]:
+    """Load a frozen teacher and build the KD loss (reference
+    tasks.py:33-82).
+
+    The teacher's own experiment config.yaml defines its architecture; its
+    checkpoint restores the weights; `train_mode` keeps the teacher's BN
+    in batch-statistics mode (deliberate in the reference configs). The
+    returned apply fn closes over the frozen variables, so the teacher
+    forward is jitted together with the student step.
+    """
+    with open(kd_config['teacher_config_path']) as f:
+        teacher_model_config = yaml.safe_load(f)['model']
+
+    teacher = build_model(teacher_model_config['architecture'],
+                          teacher_model_config.get('arch_config', {}))
+    variables = init_model_variables(teacher, sample_input, seed)
+    payload = restore_checkpoint(
+        Path(kd_config['teacher_checkpoint_path']))
+    variables = _restore_into(variables, payload,
+                              kd_config.get('strict_keys', True))
+    train_mode = bool(kd_config.get('train_mode', False))
+    freeze = bool(kd_config.get('freeze_teacher', True))
+
+    def teacher_apply(data):
+        if train_mode:
+            out, _ = teacher.apply(variables, data, True,
+                                   mutable=['batch_stats', 'quant_state'])
+        else:
+            out = teacher.apply(variables, data, False)
+        return jax.lax.stop_gradient(out) if freeze else out
+
+    crit = dict(kd_config.get('criterion_config', {}))
+
+    def kd_loss(output, teacher_output, target):
+        return kd_criterion(output, teacher_output, target,
+                            freeze_teacher=freeze, **crit)
+
+    return teacher_apply, kd_loss
+
+
+def classification_task(
+        config: dict,
+        experiment_root_directory: Path,
+        data_loader_cls: Optional[Type[QuantDataLoader]] = None,
+        get_hooks: Optional[Callable] = None,
+        restore_experiment: Optional[Path] = None,
+) -> tuple[list[dict], list[dict]]:
+    """Run a classification experiment; returns per-epoch metric lists."""
+    env_config = config.get('environment', {})
+    data_config = dict(config['data'])
+    model_config = config['model']
+    optimization_config = config['optimization']
+    log_config = config['log']
+
+    init_logging(log_config.get('level', 'INFO'))
+
+    if env_config.get('multihost'):
+        jax.distributed.initialize()
+
+    nchips = int(env_config.get('nchips', 0) or 0)
+    tp = int(env_config.get('tensor_parallel', 1))
+    devices = jax.devices()
+    if nchips:
+        devices = devices[:nchips]
+    mesh = make_mesh(model=tp, devices=devices) if len(devices) > 1 else None
+
+    if data_loader_cls is None:
+        data_loader_cls = DATASET_REGISTRY[data_config.pop('dataset')]
+    else:
+        data_config.pop('dataset', None)
+    data_config.pop('download', None)
+    data_loader = data_loader_cls(**data_config)
+    skip_training = bool(config.get('skip_training'))
+    train_loader = None if skip_training else data_loader.get_train_loader()
+    test_loader = data_loader.get_test_loader()
+
+    epochs = int(optimization_config['epochs'])
+    seed = config.get('seed')
+
+    sample = next(iter(test_loader))[0][:2]
+    model = build_model(model_config['architecture'],
+                        model_config.get('arch_config', {}))
+    variables = init_model_variables(model, sample, seed)
+
+    teacher_apply, kd_loss = None, None
+    if 'kd_config' in model_config:
+        teacher_apply, kd_loss = get_teacher_apply(
+            model_config['kd_config'], sample, seed)
+
+    eval_loss_fn = get_loss_fn(model_config['loss'])
+    train_loss_fn = kd_loss if kd_loss is not None else eval_loss_fn
+
+    if skip_training:
+        tx = None
+        lr_schedule = None
+        import optax
+        tx = optax.identity()
+    else:
+        tx, lr_schedule = make_optimizer(
+            optimization_config, epochs, len(train_loader))
+
+    state = TrainState.create(model.apply, variables, tx)
+
+    start_epoch = 1
+    strict = model_config.get('strict_keys', True)
+    if restore_experiment is not None:
+        ckpt = get_path_to_checkpoint(restore_experiment)
+        payload = restore_checkpoint(ckpt)
+        variables = _restore_into(variables, payload, strict)
+        state = state.replace(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', {}),
+            quant_state=variables.get('quant_state', {}),
+        )
+        if 'opt_state' in payload and not skip_training:
+            # Orbax round-trips optax's namedtuple states as plain
+            # lists/dicts; rebuild the target structure from the restored
+            # leaves (same flatten order).
+            target_leaves, target_def = jax.tree.flatten(state.opt_state)
+            restored_leaves = jax.tree.leaves(payload['opt_state'])
+            if len(restored_leaves) == len(target_leaves):
+                rebuilt = jax.tree.unflatten(
+                    target_def,
+                    [jnp.asarray(n).astype(o.dtype)
+                     if hasattr(o, 'dtype') else n
+                     for n, o in zip(restored_leaves, target_leaves)])
+                state = state.replace(
+                    opt_state=rebuilt,
+                    step=jnp.asarray(payload.get('step', 0), jnp.int32))
+            else:
+                logger.warning(
+                    'Optimizer state in checkpoint does not match the '
+                    'current optimizer (%d vs %d leaves); starting fresh.',
+                    len(restored_leaves), len(target_leaves))
+        start_epoch = int(payload.get('epoch', 0)) + 1
+    elif config.get('init_from_checkpoint'):
+        payload = restore_checkpoint(Path(config['init_from_checkpoint']))
+        variables = _restore_into(variables, payload, strict)
+        state = state.replace(
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', {}),
+            quant_state=variables.get('quant_state', {}))
+
+    train_hooks, test_hooks = ([], [])
+    if get_hooks is not None:
+        train_hooks, test_hooks = get_hooks(
+            config, Path(experiment_root_directory))
+
+    train_step = make_train_step(train_loss_fn, teacher_apply, mesh=mesh)
+    eval_step = make_eval_step(eval_loss_fn, mesh=mesh)
+
+    train_epoch_metrics: list[dict] = []
+    test_epoch_metrics: list[dict] = []
+
+    exp_dir = Path(experiment_root_directory) / config['experiment_name']
+
+    if skip_training:
+        test_epoch_metrics.append(
+            evaluate(eval_step, state, test_loader, epoch=1,
+                     hooks=test_hooks))
+    else:
+        save_freq = int(log_config.get('save_model_freq', epochs))
+        # Reference semantics: a restored run trains `epochs` MORE epochs
+        # (tasks.py:196: range(start_epoch, start_epoch + epochs)).
+        for epoch in range(start_epoch, start_epoch + epochs):
+            state, m_train = train_epoch(
+                train_step, state, train_loader, epoch,
+                log_interval=int(log_config.get('interval', 10)),
+                hooks=train_hooks, lr_schedule=lr_schedule,
+                steps_per_epoch=len(train_loader))
+            m_test = evaluate(eval_step, state, test_loader, epoch=epoch,
+                              hooks=test_hooks)
+            train_epoch_metrics.append(m_train)
+            test_epoch_metrics.append(m_test)
+
+            if epoch % save_freq == 0 or epoch == epochs:
+                save_checkpoint(
+                    exp_dir / 'checkpoints',
+                    {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'quant_state': state.quant_state,
+                     'opt_state': state.opt_state,
+                     'step': state.step,
+                     'epoch': epoch},
+                    epoch)
+
+    data_loader.cleanup()
+    return train_epoch_metrics, test_epoch_metrics

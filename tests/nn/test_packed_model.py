@@ -1,0 +1,63 @@
+"""Packed-inference model parity: same trained variables, packed vs dense
+eval forwards must agree within int8/bf16 tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quant_tpu.nn import QLeNet5, QResNet
+
+
+def _trained_vars(model, x):
+    variables = model.init(jax.random.key(0), x, True)
+    # One train pass to populate quantizer scale caches and BN stats.
+    _, mut = model.apply(variables, x, True,
+                         mutable=['quant_state', 'batch_stats'])
+    v = dict(variables)
+    v.update(mut)
+    return v
+
+
+@pytest.mark.parametrize('x_quant,w_quant', [
+    ('ls-1', 'ls-1'), ('ls-2', 'ls-1'), ('ls-T', 'ls-1'),
+    ('gf-2', 'ls-1'), ('fp', 'ls-1'), ('ls-1', 'ls-2'), ('ls-1', 'ls-T'),
+])
+def test_lenet_packed_matches_dense(rng, x_quant, w_quant):
+    x = jnp.asarray(rng.standard_normal((4, 28, 28, 1)), jnp.float32)
+    dense = QLeNet5(conv1_filters=4, conv2_filters=6,
+                    x_quant=x_quant, w_quant=w_quant,
+                    clamp={'kind': 'symmetric', 'alpha': 2.0})
+    variables = _trained_vars(dense, x)
+    out_dense = dense.apply(variables, x, False)
+    packed = dense.clone(inference_mode='packed')
+    out_packed = packed.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_dense), rtol=5e-2, atol=5e-2)
+    # Predictions agree.
+    np.testing.assert_array_equal(np.argmax(out_packed, -1),
+                                  np.argmax(out_dense, -1))
+
+
+def test_resnet_packed_matches_dense(rng):
+    layer = {'x_quant': 'ls-1', 'w_quant': 'ls-1',
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0},
+             'double_shortcut': True}
+    model = QResNet(
+        block='xnor',
+        layer0={'n_in_channels': 8, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=None,
+        nonlins=['relu', 'relu'],
+        num_blocks=[1, 1, 1],
+        output_classes=10,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    variables = _trained_vars(model, x)
+    out_dense = model.apply(variables, x, False)
+    out_packed = model.clone(inference_mode='packed').apply(
+        variables, x, False)
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_dense), rtol=5e-2, atol=1e-1)
