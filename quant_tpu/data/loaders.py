@@ -52,19 +52,30 @@ class BatchIterable:
             else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        from quant_tpu.data import native
         n = self.num_examples
-        order = np.arange(n)
+        epoch_seed = self._seed + self._epoch
         if self.shuffle:
-            rng = np.random.default_rng(self._seed + self._epoch)
-            rng.shuffle(order)
+            order = native.shuffled_order(n, epoch_seed)
             aug_rng = np.random.default_rng(self._seed + 10_000 + self._epoch)
+        else:
+            order = np.arange(n, dtype=np.int32)
         self._epoch += 1
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        use_native_aug = (self.augment == 'crop_flip'
+                          and self.images.ndim == 4)
         for start in range(0, end, self.batch_size):
             idx = order[start:start + self.batch_size]
-            imgs = self.images[idx]
-            if self.augment is not None:
-                imgs = self.augment(imgs, aug_rng)
+            bsz = len(idx)
+            if use_native_aug:
+                # Fused native gather + crop/flip (C++ path when built).
+                imgs = native.make_batch(self.images, order, start, bsz,
+                                         pad=4, seed=epoch_seed,
+                                         augment=True)
+            else:
+                imgs = self.images[idx]
+                if callable(self.augment):
+                    imgs = self.augment(imgs, aug_rng)
             yield imgs.astype(np.float32), self.labels[idx].astype(np.int32)
 
 
@@ -188,7 +199,7 @@ class _CIFARBase(QuantDataLoader):
     def get_train_loader(self):
         x, y = self._load(self.train_files)
         return BatchIterable(x, y, self.train_batch_size, shuffle=True,
-                             seed=self.seed, augment=random_crop_flip,
+                             seed=self.seed, augment='crop_flip',
                              drop_last=self.drop_last)
 
     def get_test_loader(self):

@@ -1,0 +1,145 @@
+"""Inference engine with continuous batching.
+
+The serving path the reference lacks entirely (SURVEY.md §2.2 / BASELINE
+north star: "continuous batching of inference requests across hosts").
+
+Design: requests (single images) enter a queue; a scheduler thread drains
+up to `max_batch` requests (waiting at most `max_wait_ms` once one is
+pending), pads the batch to a fixed compiled size — static shapes keep a
+single XLA executable hot — runs the packed eval forward, and resolves
+each request's Future with its logits. Padding rows are masked out before
+resolution. Multiple fixed batch buckets avoid paying full-batch latency
+for single stragglers.
+
+Scale-out note: one engine binds one process/host; multi-host serving runs
+one engine per host behind an external load balancer, with model variables
+loaded from the same checkpoint (the TP-sharded variant jits the forward
+over a mesh instead — same API).
+"""
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceEngine:
+    def __init__(self, apply_fn: Callable, variables: dict,
+                 input_shape: Sequence[int],
+                 max_batch: int = 64,
+                 batch_buckets: Optional[Sequence[int]] = None,
+                 max_wait_ms: float = 2.0):
+        """
+        Args:
+            apply_fn: model.apply of an eval-ready (e.g. packed) model;
+                called as apply_fn(variables, x, False).
+            variables: trained model variables (with quant_state caches).
+            input_shape: per-example shape, e.g. (224, 224, 3).
+            max_batch: largest compiled batch size.
+            batch_buckets: ascending compiled batch sizes (default
+                powers-of-two up to max_batch).
+            max_wait_ms: batching window after the first pending request.
+        """
+        self.apply_fn = apply_fn
+        self.variables = variables
+        self.input_shape = tuple(input_shape)
+        self.max_batch = max_batch
+        self.buckets = sorted(batch_buckets or
+                              [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                               if b <= max_batch])
+        self.max_wait = max_wait_ms / 1000.0
+        self._queue: queue.Queue = queue.Queue()
+        self._compiled = {}
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._stats = {'requests': 0, 'batches': 0, 'padded': 0}
+
+    # -- public API ------------------------------------------------------
+
+    def start(self) -> 'InferenceEngine':
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def submit(self, image: np.ndarray) -> Future:
+        """Enqueue one image; returns a Future resolving to its logits."""
+        if tuple(image.shape) != self.input_shape:
+            raise ValueError(
+                f'expected shape {self.input_shape}, got {image.shape}')
+        fut: Future = Future()
+        self._queue.put((np.asarray(image, np.float32), fut))
+        self._stats['requests'] += 1
+        return fut
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """Synchronous batch prediction (bypasses the queue)."""
+        n = images.shape[0]
+        bucket = self._bucket_for(n)
+        padded = np.zeros((bucket,) + self.input_shape, np.float32)
+        padded[:n] = images
+        out = self._run(bucket, padded)
+        return np.asarray(out)[:n]
+
+    @property
+    def stats(self) -> dict:
+        return dict(self._stats)
+
+    # -- internals -------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _run(self, bucket: int, batch: np.ndarray):
+        fn = self._compiled.get(bucket)
+        if fn is None:
+            fn = jax.jit(lambda v, x: self.apply_fn(v, x, False))
+            self._compiled[bucket] = fn
+        return jax.device_get(fn(self.variables, jnp.asarray(batch)))
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            items = [first]
+            deadline = None
+            import time
+            deadline = time.perf_counter() + self.max_wait
+            while len(items) < self.max_batch:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+
+            n = len(items)
+            bucket = self._bucket_for(n)
+            batch = np.zeros((bucket,) + self.input_shape, np.float32)
+            for i, (img, _) in enumerate(items):
+                batch[i] = img
+            try:
+                out = self._run(bucket, batch)
+            except Exception as e:  # resolve futures with the error
+                for _, fut in items:
+                    fut.set_exception(e)
+                continue
+            for i, (_, fut) in enumerate(items):
+                fut.set_result(np.asarray(out[i]))
+            self._stats['batches'] += 1
+            self._stats['padded'] += bucket - n
