@@ -13,6 +13,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from quant_tpu.config import get_base_argument_parser, parse_config  # noqa: E402
 from quant_tpu.data import ImageNetDataLoader  # noqa: E402
 from quant_tpu.experiment import Experiment  # noqa: E402
+from quant_tpu.platform import LocalComputePlatform  # noqa: E402
 from quant_tpu.train.task import classification_task  # noqa: E402
 from quant_tpu.utils.visualization import get_tensorboard_hooks  # noqa: E402
 
@@ -20,8 +21,9 @@ from quant_tpu.utils.visualization import get_tensorboard_hooks  # noqa: E402
 def main() -> None:
     parser = get_base_argument_parser('ImageNet experiment with QResNet-18')
     config = parse_config(parser.parse_args())
-    Experiment(classification_task, config, ImageNetDataLoader,
-               get_tensorboard_hooks).run()
+    experiment = Experiment(classification_task, config, ImageNetDataLoader,
+                            get_tensorboard_hooks)
+    LocalComputePlatform().run(experiment)
 
 
 if __name__ == '__main__':

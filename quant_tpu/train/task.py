@@ -131,7 +131,10 @@ def classification_task(
     init_logging(log_config.get('level', 'INFO'))
 
     if env_config.get('multihost'):
-        jax.distributed.initialize()
+        from quant_tpu.parallel.multihost import initialize
+        initialize(env_config.get('coordinator_address'),
+                   env_config.get('num_processes'),
+                   env_config.get('process_id'))
 
     nchips = int(env_config.get('nchips', 0) or 0)
     tp = int(env_config.get('tensor_parallel', 1))
