@@ -85,7 +85,8 @@ def main() -> None:
     vb = dict(vb)
     vb['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
                                      vb.get('quant_state', {}))
-    packed = binary.clone(inference_mode='packed')
+    packed = binary.clone(inference_mode='packed',
+                          eval_dtype=jnp.bfloat16)
     ips_binary = _throughput(packed.apply, vb, x)
 
     fp = _resnet18('fp', 'fp')

@@ -198,8 +198,25 @@ class ActivationQuantizer(nn.Module):
         return out(x_q, vs)
 
 
+class PReLU(nn.Module):
+    """PReLU with a single shared slope (torch default), dtype-preserving
+    (the slope is cast to the input dtype, so bf16 chains stay bf16)."""
+
+    negative_slope_init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        slope = self.param(
+            'negative_slope',
+            lambda key: jnp.asarray(self.negative_slope_init, jnp.float32))
+        return jnp.where(x >= 0, x, slope.astype(x.dtype) * x)
+
+
 class Conv(nn.Module):
-    """Full-precision NHWC conv with torch nn.Conv2d default init."""
+    """Full-precision NHWC conv with torch nn.Conv2d default init.
+
+    `dtype` optionally downcasts the computation (params stay fp32);
+    used by the bf16 packed-inference path."""
 
     features: int
     kernel_size: IntOr2
@@ -207,6 +224,7 @@ class Conv(nn.Module):
     padding: IntOr2 = 0
     use_bias: bool = True
     groups: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -221,8 +239,13 @@ class Conv(nn.Module):
             fan_in = (cin // self.groups) * kh * kw
             bias = self.param('bias', torch_bias_init(fan_in),
                               (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
         return conv2d(x, kernel, stride=self.stride, padding=self.padding,
-                      groups=self.groups, bias=bias)
+                      groups=self.groups, bias=bias,
+                      preferred_element_type=self.dtype or jnp.float32)
 
 
 class Dense(nn.Module):
@@ -230,16 +253,21 @@ class Dense(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         fan_in = x.shape[-1]
         kernel = self.param('kernel', torch_conv_kernel_init(),
                             (fan_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
-            y = y + self.param('bias', torch_bias_init(fan_in),
-                               (self.features,))
+            bias = self.param('bias', torch_bias_init(fan_in),
+                              (self.features,))
+            y = y + (bias.astype(self.dtype) if self.dtype else bias)
         return y
 
 
@@ -249,6 +277,7 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1
     epsilon: float = 1e-5
     affine: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -258,6 +287,7 @@ class BatchNorm(nn.Module):
             epsilon=self.epsilon,
             use_bias=self.affine,
             use_scale=self.affine,
+            dtype=self.dtype,
             name='bn',
         )(x)
 
@@ -285,11 +315,15 @@ class QuantConv2d(nn.Module):
     moving_average_momentum: float = 0.99
     solver_mode: str = 'exact'
     # 'dense'  — fp-simulated conv (the QAT/oracle path, reference
-    #            semantics). 'packed' — eval-mode forwards run the int8-MXU
+    #            semantics). 'packed' — eval-mode forwards run the MXU
     #            multi-pass binary conv over bit-packed weight sign planes
     #            (quant_tpu/ops/binary_infer.py). Training always uses the
     #            dense path (gradients need the STE composition).
     inference_mode: str = 'dense'
+    # Optional reduced dtype for the packed-inference feature-map chain
+    # (e.g. jnp.bfloat16): conv accumulation stays exact f32; everything
+    # between convs runs/streams at half the HBM bytes.
+    eval_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -334,6 +368,7 @@ class QuantConv2d(nn.Module):
                       and self.w_quant != 'fp' and self.groups == 1)
         if use_packed:
             from quant_tpu.ops import binary_infer as BI
+            out_dtype = self.eval_dtype or jnp.float32
             planes = BI.weight_sign_planes(w_oi, self.w_quant, w_vs)
             w_packed = jnp.stack([
                 BI.pack_weights(jnp.moveaxis(p, 0, -1)) for p in planes])
@@ -342,11 +377,13 @@ class QuantConv2d(nn.Module):
                 return BI.fp_activation_conv_infer(
                     x_clamped, w_packed=w_packed, w_vs=w_scales,
                     in_channels=cin, bias=bias, stride=self.stride,
-                    padding=self.padding)
+                    padding=self.padding, out_dtype=out_dtype)
             return BI.quant_conv2d_infer(
                 x_clamped, x_scheme=self.x_quant, x_vs=x_vs,
                 w_packed=w_packed, w_vs=w_scales, in_channels=cin,
-                bias=bias, stride=self.stride, padding=self.padding)
+                bias=bias, stride=self.stride, padding=self.padding,
+                w_planes_share_scale=(self.w_quant == 'ls-T'),
+                out_dtype=out_dtype)
 
         return conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
                       groups=self.groups, bias=bias)

@@ -19,8 +19,9 @@ from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
+import jax.numpy as jnp
 
-from quant_tpu.nn.layers import BatchNorm, Conv, QuantConv2d
+from quant_tpu.nn.layers import BatchNorm, Conv, PReLU, QuantConv2d
 from quant_tpu.ops.conv import global_avg_pool, max_pool2d
 
 
@@ -29,7 +30,7 @@ def _nonlin(name: str, module_name: str):
         return nn.relu
     if name == 'prelu':
         # torch PReLU: single shared slope initialized to 0.25.
-        return nn.PReLU(negative_slope_init=0.25, name=module_name)
+        return PReLU(negative_slope_init=0.25, name=module_name)
     if name == 'identity':
         return lambda x: x
     raise ValueError(f'Non-linearity {name} is not supported.')
@@ -41,14 +42,15 @@ class _Shortcut(nn.Module):
     planes: int
     stride: int
     use_bias: bool
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if self.stride == 1 and x.shape[-1] == self.planes:
             return x
         y = Conv(self.planes, 1, stride=self.stride, use_bias=self.use_bias,
-                 name='conv')(x)
-        return BatchNorm(name='norm')(y, train)
+                 dtype=self.dtype, name='conv')(x)
+        return BatchNorm(dtype=self.dtype, name='norm')(y, train)
 
 
 class RegularBasicBlock(nn.Module):
@@ -64,27 +66,30 @@ class RegularBasicBlock(nn.Module):
     moving_average_momentum: float = 0.99
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
+    eval_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
+        dt = self.eval_dtype if not train else None
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
-            inference_mode=self.inference_mode, use_bias=False, padding=1,
+            inference_mode=self.inference_mode, eval_dtype=dt,
+            use_bias=False, padding=1,
         )
         out = QuantConv2d(self.planes, 3, stride=self.stride,
                           name='conv1', **qconv)(x, train)
         out = _nonlin(self.nonlins[0], 'nonlin1')(
-            BatchNorm(name='bn1')(out, train))
+            BatchNorm(dtype=dt, name='bn1')(out, train))
         out = QuantConv2d(self.planes, 3, stride=1,
                           name='conv2', **qconv)(out, train)
-        out = BatchNorm(name='bn2')(out, train)
+        out = BatchNorm(dtype=dt, name='bn2')(out, train)
         out = out + _Shortcut(self.planes, self.stride, use_bias=False,
-                              name='shortcut')(x, train)
+                              dtype=dt, name='shortcut')(x, train)
         return _nonlin(self.nonlins[1], 'nonlin2')(out)
 
 
@@ -103,29 +108,32 @@ class XnorBasicBlock(nn.Module):
     moving_average_momentum: float = 0.99
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
+    eval_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
+        dt = self.eval_dtype if not train else None
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
-            inference_mode=self.inference_mode, use_bias=True, padding=1,
+            inference_mode=self.inference_mode, eval_dtype=dt,
+            use_bias=True, padding=1,
         )
         shortcut = _Shortcut(self.planes, self.stride, use_bias=True,
-                             name='shortcut')
+                             dtype=dt, name='shortcut')
 
-        out1 = BatchNorm(name='bn1')(x, train)
+        out1 = BatchNorm(dtype=dt, name='bn1')(x, train)
         out1 = QuantConv2d(self.planes, 3, stride=self.stride,
                            name='conv1', **qconv)(out1, train)
         out1 = _nonlin(self.nonlins[0], 'nonlin1')(out1)
         if self.double_shortcut:
             out1 = out1 + shortcut(x, train)
 
-        out2 = BatchNorm(name='bn2')(out1, train)
+        out2 = BatchNorm(dtype=dt, name='bn2')(out1, train)
         out2 = QuantConv2d(self.planes, 3, stride=1,
                            name='conv2', **qconv)(out2, train)
         if self.double_shortcut:
@@ -159,6 +167,7 @@ class QResNet(nn.Module):
     moving_average_momentum: float = 0.99
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
+    eval_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -166,11 +175,14 @@ class QResNet(nn.Module):
             raise ValueError(f'Block {self.block} is not supported.')
         block_cls = _BLOCKS[self.block]
 
+        dt = self.eval_dtype if not train else None
+        if dt is not None:
+            x = x.astype(dt)
         width = self.layer0['n_in_channels']
         x = Conv(width, self.layer0['kernel_size'],
                  stride=self.layer0['stride'], padding=self.layer0['padding'],
-                 use_bias=self.layer0['bias'], name='conv1')(x)
-        x = nn.relu(BatchNorm(name='bn1')(x, train))
+                 use_bias=self.layer0['bias'], dtype=dt, name='conv1')(x)
+        x = nn.relu(BatchNorm(dtype=dt, name='bn1')(x, train))
         mp = self.layer0['maxpool']
         if mp['type'] == 'maxpool2d':
             x = max_pool2d(x, kernel_size=mp['kernel_size'],
@@ -194,7 +206,8 @@ class QResNet(nn.Module):
                 moving_average_mode=self.moving_average_mode,
                 moving_average_momentum=self.moving_average_momentum,
                 solver_mode=self.solver_mode,
-            inference_mode=self.inference_mode,
+                inference_mode=self.inference_mode,
+                eval_dtype=self.eval_dtype,
                 **cfg,  # e.g. double_shortcut for xnor blocks
             )
             for b in range(self.num_blocks[s]):
@@ -206,4 +219,5 @@ class QResNet(nn.Module):
 
         x = global_avg_pool(x)
         from quant_tpu.nn.layers import Dense
-        return Dense(self.output_classes, name='fc')(x)
+        logits = Dense(self.output_classes, dtype=dt, name='fc')(x)
+        return logits.astype(jnp.float32)

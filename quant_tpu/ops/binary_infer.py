@@ -120,9 +120,12 @@ def activation_sign_planes(x: jax.Array, scheme: str,
         b2 = binary_sign(x - per_sample(vs[0]) * b1)
         return ([b1.astype(SIGN_COMPUTE_DTYPE), b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[1]])
     if scheme == 'ls-T':
+        # Both ternary passes share one scale, so the two sign planes fuse
+        # into ONE conv over (b1 + b2) in {-2, 0, +2} — exact in bf16 and
+        # half the conv work of the naive two-pass form.
         b1 = binary_sign(x)
         b2 = binary_sign(x - per_sample(vs[0]) * b1)
-        return ([b1.astype(SIGN_COMPUTE_DTYPE), b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[0]])
+        return [(b1 + b2).astype(SIGN_COMPUTE_DTYPE)], [vs[0]]
     if scheme.startswith('gf-'):
         k = int(scheme.split('-')[1])
         planes, scales = [], []
@@ -142,7 +145,9 @@ def quant_conv2d_infer(x: jax.Array, *,
                        in_channels: int,
                        bias: Optional[jax.Array] = None,
                        stride=1, padding=0,
-                       clamp_fn=None) -> jax.Array:
+                       clamp_fn=None,
+                       w_planes_share_scale: bool = False,
+                       out_dtype=jnp.float32) -> jax.Array:
     """Full packed-weight quantized conv: multi-pass binary convs + epilogue.
 
     Args:
@@ -163,17 +168,26 @@ def quant_conv2d_infer(x: jax.Array, *,
     x_planes, x_scales = activation_sign_planes(x, x_scheme, x_vs)
     n = x.shape[0]
 
+    if w_planes_share_scale and k_w == 2:
+        # ls-T weights: fuse the two equal-scale planes into one conv
+        # operand in {-2, 0, +2} (same trick as ls-T activations).
+        merged = (unpack_weights_int8(w_packed[0], in_channels)
+                  + unpack_weights_int8(w_packed[1], in_channels))
+        w_sign_sets = [(merged, w_vs[0])]
+    else:
+        w_sign_sets = [(unpack_weights_int8(w_packed[j], in_channels),
+                        w_vs[j]) for j in range(k_w)]
+
     acc = None
-    for j in range(k_w):
-        w_signs = unpack_weights_int8(w_packed[j], in_channels)
-        for i, (bx, vx) in enumerate(zip(x_planes, x_scales)):
+    for w_signs, vw in w_sign_sets:
+        for bx, vx in zip(x_planes, x_scales):
             y = binary_conv_int8(bx, w_signs, stride=stride, padding=padding)
             scale = (vx.reshape(n, 1, 1, 1).astype(jnp.float32)
-                     * w_vs[j].reshape(1, 1, 1, -1).astype(jnp.float32))
-            term = y.astype(jnp.float32) * scale
+                     * vw.reshape(1, 1, 1, -1).astype(jnp.float32))
+            term = (y * scale).astype(out_dtype)
             acc = term if acc is None else acc + term
     if bias is not None:
-        acc = acc + bias
+        acc = acc + bias.astype(out_dtype)
     return acc
 
 
@@ -182,7 +196,8 @@ def fp_activation_conv_infer(x: jax.Array, *,
                              in_channels: int,
                              bias: Optional[jax.Array] = None,
                              stride=1, padding=0,
-                             clamp_fn=None) -> jax.Array:
+                             clamp_fn=None,
+                             out_dtype=jnp.float32) -> jax.Array:
     """fp activations x binary weights: bf16 conv against unpacked signs
     with the per-channel scale epilogue (the k_a=32, k_w=1 configs)."""
     if clamp_fn is not None:
@@ -195,8 +210,8 @@ def fp_activation_conv_infer(x: jax.Array, *,
             w_packed[j], in_channels).astype(jnp.bfloat16)
         y = conv2d(x.astype(jnp.bfloat16), w_signs, stride=stride,
                    padding=padding, preferred_element_type=jnp.float32)
-        term = y * w_vs[j].reshape(1, 1, 1, -1)
+        term = (y * w_vs[j].reshape(1, 1, 1, -1)).astype(out_dtype)
         acc = term if acc is None else acc + term
     if bias is not None:
-        acc = acc + bias
+        acc = acc + bias.astype(out_dtype)
     return acc

@@ -61,3 +61,31 @@ def test_resnet_packed_matches_dense(rng):
         variables, x, False)
     np.testing.assert_allclose(np.asarray(out_packed),
                                np.asarray(out_dense), rtol=5e-2, atol=1e-1)
+
+
+def test_resnet_packed_bf16_eval_dtype(rng):
+    """Packed + bf16 feature-map chain: predictions must track the fp32
+    dense path (looser tolerance — bf16 BN/nonlin rounding)."""
+    import jax.numpy as jnp
+    layer = {'x_quant': 'ls-1', 'w_quant': 'ls-1',
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0},
+             'double_shortcut': True}
+    model = QResNet(
+        block='xnor',
+        layer0={'n_in_channels': 8, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=None,
+        nonlins=['prelu', 'prelu'],
+        num_blocks=[1, 1, 1],
+        output_classes=10,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    variables = _trained_vars(model, x)
+    out_dense = model.apply(variables, x, False)
+    packed16 = model.clone(inference_mode='packed', eval_dtype=jnp.bfloat16)
+    out_p16 = packed16.apply(variables, x, False)
+    assert out_p16.dtype == jnp.float32  # logits cast back
+    np.testing.assert_allclose(np.asarray(out_p16), np.asarray(out_dense),
+                               rtol=1e-1, atol=2e-1)
