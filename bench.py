@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 ITERS = 24
-BATCH = 512
+BATCH = 1024
 
 
 def _resnet18(x_quant: str, w_quant: str, **kwargs):
