@@ -77,7 +77,7 @@ def main() -> None:
     key = jax.random.key(0)
     x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
 
-    binary = _resnet18('ls-1', 'ls-1')
+    binary = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
     vb = binary.init(key, x[:2], True)
     # Fill the cached weight-scale buffers directly (values are irrelevant
     # to throughput; a real deployment restores them from a checkpoint —

@@ -1,0 +1,83 @@
+"""Serving demo: packed binary ResNet-18 behind the continuous-batching
+inference engine.
+
+    python examples/serve.py --checkpoint <experiments/.../checkpoint_N> \
+        --config <experiments/.../config.yaml> [--requests 64]
+
+Without a checkpoint it serves a randomly-initialized model (throughput /
+integration demo). Requests are submitted as individual images; the engine
+batches them into fixed compiled buckets.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--config', type=str, default=None,
+                        help='experiment config.yaml defining the model')
+    parser.add_argument('--checkpoint', type=str, default=None)
+    parser.add_argument('--requests', type=int, default=64)
+    parser.add_argument('--image-size', type=int, default=224)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from quant_tpu.serving import InferenceEngine
+    from quant_tpu.train.task import build_model, init_model_variables, \
+        _restore_into
+    from quant_tpu.utils.checkpoints import restore_checkpoint
+
+    if args.config:
+        with open(args.config) as f:
+            model_cfg = yaml.safe_load(f)['model']
+        model = build_model(model_cfg['architecture'],
+                            model_cfg.get('arch_config', {}))
+    else:
+        from bench import _resnet18
+        model = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
+
+    shape = (args.image_size, args.image_size, 3)
+    sample = jnp.zeros((2,) + shape)
+    variables = init_model_variables(model, sample, seed=0)
+    if args.checkpoint:
+        payload = restore_checkpoint(Path(args.checkpoint))
+        variables = _restore_into(variables, payload)
+    else:
+        variables = dict(variables)
+        variables['quant_state'] = jax.tree.map(
+            lambda v: jnp.full_like(v, 0.5),
+            variables.get('quant_state', {}))
+
+    packed = model.clone(inference_mode='packed',
+                         eval_dtype=jnp.bfloat16)
+    engine = InferenceEngine(packed.apply, variables, shape,
+                             max_batch=64).start()
+    try:
+        rng = np.random.default_rng(0)
+        t0 = time.perf_counter()
+        futs = [engine.submit(
+            rng.standard_normal(shape).astype(np.float32))
+            for _ in range(args.requests)]
+        outs = [f.result(timeout=600) for f in futs]
+        dt = time.perf_counter() - t0
+        print(f'{len(outs)} requests in {dt:.2f}s '
+              f'({len(outs) / dt:.1f} req/s), '
+              f'batches={engine.stats["batches"]}, '
+              f'padded={engine.stats["padded"]}')
+        print('first logits:', np.asarray(outs[0])[:5])
+    finally:
+        engine.stop()
+
+
+if __name__ == '__main__':
+    main()
