@@ -25,6 +25,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: repeat bench runs (and the driver's
+# end-of-round run) skip the ~10-min remote compiles when the program is
+# unchanged. Harmless if the backend ignores it.
+try:
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_comp_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+except Exception:  # pragma: no cover - older jax
+    pass
+
 ITERS = 24
 BATCH = 1024
 

@@ -132,15 +132,19 @@ def train_epoch(train_step: Callable, state: TrainState,
     metric_state = metrics.state
     seen = 0
     n_total = getattr(loader, 'num_examples', None)
+    # Host-side step mirror: one sync at epoch start instead of a
+    # device_get per batch in the hook path.
+    host_step = int(jax.device_get(state.step))
     for batch_idx, (data, target) in enumerate(loader):
         data = jnp.asarray(data)
         target = jnp.asarray(target)
         state, metric_state, loss = train_step(state, data, target,
                                                metric_state)
+        host_step += 1
         seen += data.shape[0]
         global_step = 1 + (epoch - 1) * (steps_per_epoch or 0) + batch_idx
         for hook in hooks:
-            lr = (float(lr_schedule(int(state.step) - 1))
+            lr = (float(lr_schedule(host_step - 1))
                   if lr_schedule else None)
             hook(epoch=epoch, global_step=global_step,
                  values_dict={'lr': lr}, log_interval=log_interval)

@@ -32,9 +32,11 @@ def make_lr_schedule(config: dict, epochs: int,
         total_steps = max((epochs - 1) * steps_per_epoch, 1)
 
         def schedule(step):
-            import jax.numpy as jnp
             lr = lr0 - step / total_steps * (lr0 + min_lr)
-            return jnp.maximum(lr, min_lr)
+            if hasattr(step, 'dtype'):  # traced: stay in jnp
+                import jax.numpy as jnp
+                return jnp.maximum(lr, min_lr)
+            return max(lr, min_lr)  # host hook path: no device op
         return schedule
 
     if kind == 'step_lr':
