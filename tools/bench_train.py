@@ -1,0 +1,69 @@
+"""Training-step throughput benchmark (ResNet-18 ls-1/ls-1 QAT).
+
+Measures the full jitted train step — forward with on-device scale
+solves, STE backward, adam update, metric update — on the real chip.
+Prints one JSON line. Uses the persistent compile cache and the chained
+host-loop timing pattern (see bench.py for why).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_comp_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+except Exception:
+    pass
+
+ITERS = 10
+BATCH = 128
+
+
+def main() -> None:
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+    from bench import _resnet18
+    from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
+                                 make_train_step)
+    from quant_tpu.train.metrics import init_metric_state
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
+    y = jax.random.randint(key, (BATCH,), 0, 1000)
+
+    model = _resnet18('ls-1', 'ls-1')
+    variables = model.init(key, x[:2], True)
+    tx, _ = make_optimizer(
+        {'optimizer': {'algorithm': 'adam', 'lr': 2e-4},
+         'lr_scheduler': {'scheduler': 'step_lr', 'step_size': 10 ** 6,
+                          'gamma': 1.0}},
+        epochs=1, steps_per_epoch=1000)
+    state = TrainState.create(model.apply, variables, tx)
+    step = make_train_step(get_loss_fn('cross_entropy'), donate=False)
+
+    t0 = time.perf_counter()
+    state, ms, loss = step(state, x, y, init_metric_state())
+    _ = jax.device_get(loss)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, ms, loss = step(state, x, y, ms)
+    _ = jax.device_get(loss)
+    dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        'metric': 'resnet18_ls1_train_images_per_sec',
+        'value': round(BATCH * ITERS / dt, 2),
+        'unit': 'images/sec/chip',
+        'compile_seconds': round(compile_s, 1),
+    }))
+
+
+if __name__ == '__main__':
+    main()
