@@ -20,6 +20,7 @@ from typing import Any, Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from quant_tpu.train.metrics import (
     MetricAccumulator, init_metric_state, update_metric_state,
@@ -77,7 +78,6 @@ def make_train_step(loss_fn: Callable,
             loss_for, has_aux=True)(state.params)
         updates, new_opt_state = state.tx.update(grads, state.opt_state,
                                                  state.params)
-        import optax
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1,

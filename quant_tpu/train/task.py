@@ -170,10 +170,8 @@ def classification_task(
     train_loss_fn = kd_loss if kd_loss is not None else eval_loss_fn
 
     if skip_training:
-        tx = None
-        lr_schedule = None
         import optax
-        tx = optax.identity()
+        tx, lr_schedule = optax.identity(), None
     else:
         tx, lr_schedule = make_optimizer(
             optimization_config, epochs, len(train_loader))
