@@ -11,7 +11,11 @@ import time of this conftest.
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# FORCE (not setdefault): the ambient environment may pin JAX_PLATFORMS to
+# a hardware backend (e.g. the axon TPU tunnel); tests must run on the
+# virtual CPU mesh regardless, or every test would remote-compile on the
+# real chip.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 xla_flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in xla_flags:
     os.environ['XLA_FLAGS'] = (
