@@ -33,11 +33,15 @@ class QLeNet5(nn.Module):
     moving_average_momentum: float = 0.99
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
+    eval_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dt = self.eval_dtype if not train else None
+        if dt is not None:
+            x = x.astype(dt)
         # First layer full precision (reference lenet.py:80-83).
-        x = Conv(self.conv1_filters, 5, stride=1, name='conv1')(x)
+        x = Conv(self.conv1_filters, 5, stride=1, dtype=dt, name='conv1')(x)
         x = BatchNorm(momentum=0.1, epsilon=1e-4, affine=False,
                       name='bn_conv1')(nn.relu(x), train)
         x = max_pool2d(x, kernel_size=2, stride=2)
@@ -53,14 +57,16 @@ class QLeNet5(nn.Module):
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode,
+            eval_dtype=dt,
             name='conv2',
         )(x, train)
         x = nn.relu(x)
         x = max_pool2d(x, kernel_size=2, stride=2)
 
         x = x.reshape(x.shape[0], -1)  # (N, 4*4*conv2_filters)
-        x = Dense(self.conv2_filters * self.output_classes, name='fc1')(x)
+        x = Dense(self.conv2_filters * self.output_classes, dtype=dt,
+                  name='fc1')(x)
         x = nn.relu(x)
         # Last layer full precision (reference lenet.py:92-94).
-        x = Dense(self.output_classes, name='fc2')(x)
-        return jax.nn.log_softmax(x, axis=-1)
+        x = Dense(self.output_classes, dtype=dt, name='fc2')(x)
+        return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
