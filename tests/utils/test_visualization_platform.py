@@ -1,0 +1,55 @@
+"""Visualization hooks + compute platform tests."""
+
+from quant_tpu.utils.visualization import Visualizer, get_tensorboard_hooks
+
+
+def test_visualizer_respects_log_interval(tmp_path):
+    vis = Visualizer(tmp_path / 'tb', metrics=None, every_n_steps=True)
+    calls = []
+    if vis.writer is not None:
+        vis.writer.add_scalar = lambda *a, **k: calls.append(a)
+    vis.hook(epoch=1, global_step=3, values_dict={'lr': 0.1},
+             log_interval=10)
+    assert calls == []  # step 3 is not a multiple of 10
+    vis.hook(epoch=1, global_step=10, values_dict={'lr': 0.1},
+             log_interval=10)
+    if vis.writer is not None:
+        assert calls, 'expected a scalar at a log_interval step'
+    vis.close()
+
+
+def test_get_tensorboard_hooks_disabled(tmp_path):
+    config = {'log': {'tensorboard': False},
+              'experiment_name': 'x'}
+    train_hooks, test_hooks = get_tensorboard_hooks(config, tmp_path)
+    assert train_hooks == [] and test_hooks == []
+
+
+def test_get_tensorboard_hooks_enabled(tmp_path):
+    config = {'log': {'tensorboard': True}, 'experiment_name': 'x'}
+    train_hooks, test_hooks = get_tensorboard_hooks(config, tmp_path)
+    assert len(train_hooks) == 1 and len(test_hooks) == 1
+    # Hooks are callable with the engine's signature.
+    train_hooks[0](epoch=1, global_step=1, values_dict={'lr': 1.0},
+                   log_interval=1)
+    test_hooks[0](epoch=1, global_step=1)
+
+
+def test_local_platform_runs_experiment(tmp_path):
+    from quant_tpu.experiment import Experiment
+    from quant_tpu.platform import LocalComputePlatform
+
+    ran = {}
+
+    def fake_task(config, root, loader_cls, get_hooks, restore):
+        ran['ok'] = True
+        return [{'Loss': 1.0}], [{'Loss': 2.0}]
+
+    config = {'experiment_name': 'p', 'log': {
+        'tensorboard': False, 'root_experiments_dir': str(tmp_path)}}
+    exp = Experiment(fake_task, config)
+    train_m, test_m = LocalComputePlatform(
+        start_tensorboard=False).run(exp)
+    assert ran['ok'] and train_m[0]['Loss'] == 1.0
+    assert (tmp_path / 'p' / 'config.yaml').exists()
+    assert (tmp_path / 'p' / 'metrics' / 'test.csv').exists()
