@@ -89,3 +89,19 @@ def test_resnet_packed_bf16_eval_dtype(rng):
     assert out_p16.dtype == jnp.float32  # logits cast back
     np.testing.assert_allclose(np.asarray(out_p16), np.asarray(out_dense),
                                rtol=1e-1, atol=2e-1)
+
+
+@pytest.mark.parametrize('x_quant', ['ls-2', 'ls-T', 'gf-2'])
+def test_lenet_packed_ema_multi_bit_parity(rng, x_quant):
+    """Packed path with eval_only EMA scales must match the dense path for
+    every multi-bit activation scheme."""
+    import jax.numpy as jnp
+    x = jnp.asarray(rng.standard_normal((4, 28, 28, 1)), jnp.float32)
+    model = QLeNet5(conv1_filters=4, conv2_filters=6, x_quant=x_quant,
+                    w_quant='ls-1', moving_average_mode='eval_only')
+    variables = _trained_vars(model, x)
+    out_dense = model.apply(variables, x, False)
+    out_packed = model.clone(inference_mode='packed').apply(
+        variables, x, False)
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_dense), rtol=5e-2, atol=5e-2)
