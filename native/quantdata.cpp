@@ -48,12 +48,23 @@ void qtd_gather(const float* src, const int32_t* idx, float* dst,
   }
 }
 
+namespace {
+inline void fill_pad(float* d, const float* pad_vals, int64_t c,
+                     int64_t count) {
+  for (int64_t i = 0; i < count; ++i)
+    for (int64_t ch = 0; ch < c; ++ch) d[i * c + ch] = pad_vals[ch];
+}
+}  // namespace
+
 // RandomCrop(h, pad) + horizontal flip over an NHWC batch.
-// in:  (n, h, w, c) float32; out: same shape. Zero padding outside.
+// in:  (n, h, w, c) float32; out: same shape. Out-of-bounds pixels are
+// filled with pad_vals[c] — the normalized value of a raw black pixel,
+// matching torchvision's pad-then-normalize ordering.
 // Per-image offsets/flip are derived from (seed, image index) so the
 // augmentation stream is reproducible and order-independent.
 void qtd_crop_flip(const float* in, float* out, int64_t n, int64_t h,
-                   int64_t w, int64_t c, int64_t pad, uint64_t seed) {
+                   int64_t w, int64_t c, int64_t pad, uint64_t seed,
+                   const float* pad_vals) {
   const int64_t span = 2 * pad + 1;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
@@ -68,7 +79,7 @@ void qtd_crop_flip(const float* in, float* out, int64_t n, int64_t h,
     for (int64_t y = 0; y < h; ++y) {
       const int64_t sy = y + dy;
       if (sy < 0 || sy >= h) {
-        std::memset(dst + y * w * c, 0, sizeof(float) * w * c);
+        fill_pad(dst + y * w * c, pad_vals, c, w);
         continue;
       }
       for (int64_t x = 0; x < w; ++x) {
@@ -76,7 +87,7 @@ void qtd_crop_flip(const float* in, float* out, int64_t n, int64_t h,
         const int64_t sx = x + dx;
         float* d = dst + (y * w + out_x) * c;
         if (sx < 0 || sx >= w) {
-          std::memset(d, 0, sizeof(float) * c);
+          fill_pad(d, pad_vals, c, 1);
         } else {
           std::memcpy(d, src + (sy * w + sx) * c, sizeof(float) * c);
         }
@@ -89,7 +100,8 @@ void qtd_crop_flip(const float* in, float* out, int64_t n, int64_t h,
 // crop_flip(src[order[start+b]]). Saves one intermediate copy.
 void qtd_make_batch(const float* src, const int32_t* order, int64_t start,
                     float* dst, int64_t batch, int64_t h, int64_t w,
-                    int64_t c, int64_t pad, uint64_t seed, int augment) {
+                    int64_t c, int64_t pad, uint64_t seed, int augment,
+                    const float* pad_vals) {
   const int64_t row = h * w * c;
   if (!augment) {
 #pragma omp parallel for schedule(static)
@@ -114,7 +126,7 @@ void qtd_make_batch(const float* src, const int32_t* order, int64_t start,
     for (int64_t y = 0; y < h; ++y) {
       const int64_t sy = y + dy;
       if (sy < 0 || sy >= h) {
-        std::memset(d0 + y * w * c, 0, sizeof(float) * w * c);
+        fill_pad(d0 + y * w * c, pad_vals, c, w);
         continue;
       }
       for (int64_t x = 0; x < w; ++x) {
@@ -122,7 +134,7 @@ void qtd_make_batch(const float* src, const int32_t* order, int64_t start,
         const int64_t sx = x + dx;
         float* d = d0 + (y * w + out_x) * c;
         if (sx < 0 || sx >= w) {
-          std::memset(d, 0, sizeof(float) * c);
+          fill_pad(d, pad_vals, c, 1);
         } else {
           std::memcpy(d, s + (sy * w + sx) * c, sizeof(float) * c);
         }

@@ -33,12 +33,14 @@ class BatchIterable:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, shuffle: bool, seed: int = 0,
-                 augment=None, drop_last: bool = False):
+                 augment=None, drop_last: bool = False,
+                 pad_value: Optional[np.ndarray] = None):
         self.images, self.labels = images, labels
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.augment = augment
         self.drop_last = drop_last
+        self.pad_value = pad_value
         self._epoch = 0
         self._seed = seed
 
@@ -57,9 +59,9 @@ class BatchIterable:
         epoch_seed = self._seed + self._epoch
         if self.shuffle:
             order = native.shuffled_order(n, epoch_seed)
-            aug_rng = np.random.default_rng(self._seed + 10_000 + self._epoch)
         else:
             order = np.arange(n, dtype=np.int32)
+        aug_rng = np.random.default_rng(self._seed + 10_000 + self._epoch)
         self._epoch += 1
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
         use_native_aug = (self.augment == 'crop_flip'
@@ -71,7 +73,8 @@ class BatchIterable:
                 # Fused native gather + crop/flip (C++ path when built).
                 imgs = native.make_batch(self.images, order, start, bsz,
                                          pad=4, seed=epoch_seed,
-                                         augment=True)
+                                         augment=True,
+                                         pad_value=self.pad_value)
             else:
                 imgs = self.images[idx]
                 if callable(self.augment):
@@ -80,11 +83,22 @@ class BatchIterable:
 
 
 def random_crop_flip(images: np.ndarray, rng: np.random.Generator,
-                     pad: int = 4) -> np.ndarray:
-    """RandomCrop(H, pad) + horizontal flip, vectorized over the batch."""
+                     pad: int = 4,
+                     pad_value: Optional[np.ndarray] = None) -> np.ndarray:
+    """RandomCrop(H, pad) + horizontal flip, vectorized over the batch.
+
+    pad_value fills out-of-bounds pixels per channel (the normalized value
+    of a raw black pixel, matching torchvision's pad-then-normalize
+    ordering; defaults to zeros)."""
     n, h, w, c = images.shape
     padded = np.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                     mode='constant')
+    if pad_value is not None:
+        pv = np.asarray(pad_value, images.dtype)
+        padded[:, :pad, :, :] = pv
+        padded[:, -pad:, :, :] = pv
+        padded[:, :, :pad, :] = pv
+        padded[:, :, -pad:, :] = pv
     ys = rng.integers(0, 2 * pad + 1, n)
     xs = rng.integers(0, 2 * pad + 1, n)
     flips = rng.random(n) < 0.5
@@ -198,9 +212,13 @@ class _CIFARBase(QuantDataLoader):
 
     def get_train_loader(self):
         x, y = self._load(self.train_files)
+        # Reference aug order is pad-raw-then-normalize: the 4px border of
+        # shifted crops is a raw black pixel, i.e. (0 - mean)/std after
+        # normalization (torchvision RandomCrop + Normalize).
+        pad_value = (0.0 - self.mean) / self.std
         return BatchIterable(x, y, self.train_batch_size, shuffle=True,
                              seed=self.seed, augment='crop_flip',
-                             drop_last=self.drop_last)
+                             drop_last=self.drop_last, pad_value=pad_value)
 
     def get_test_loader(self):
         x, y = self._subset(*self._load(self.test_files))
@@ -294,13 +312,18 @@ class ImageNetDataLoader(QuantDataLoader):
 
         class _Lazy:
             num_examples = len(labels)
+            _epoch = 0
 
             def __len__(self):
                 return -(-len(labels) // batch_size)
 
             def __iter__(self):
                 order = np.arange(len(labels))
-                rng = np.random.default_rng(loader_self.seed)
+                # Per-epoch reshuffle/augment stream (mixing the epoch
+                # into the seed, like BatchIterable).
+                rng = np.random.default_rng(
+                    loader_self.seed + type(self)._epoch)
+                type(self)._epoch += 1
                 if train:
                     rng.shuffle(order)
                 for s in range(0, len(labels), batch_size):

@@ -33,10 +33,15 @@ _initialized = False
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Initialize the multi-host runtime once; harmless on one host."""
+    """Initialize the multi-host runtime once; harmless on one host.
+
+    Must run BEFORE any backend-touching jax call (jax.devices(),
+    jax.process_count(), ...): querying the backend first initializes it
+    locally and makes distributed initialization impossible. Hence no
+    pre-checks here — just an idempotence flag and the attempt itself.
+    """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -46,6 +51,9 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(**kwargs)
         _initialized = True
     except Exception as e:
+        # Already-initialized backends or single-host auto-detection both
+        # land here; record so we do not retry every call.
+        _initialized = True
         logger.warning('jax.distributed.initialize failed or not needed '
                        '(%s); continuing single-host', e)
 

@@ -51,9 +51,11 @@ class InferenceEngine:
         self.variables = variables
         self.input_shape = tuple(input_shape)
         self.max_batch = max_batch
-        self.buckets = sorted(batch_buckets or
-                              [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
-                               if b <= max_batch])
+        # max_batch is always a bucket so _bucket_for(n) can hold any
+        # batch the scheduler collects (n <= max_batch by construction).
+        self.buckets = sorted(set(
+            (batch_buckets or [b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                               if b <= max_batch])) | {max_batch})
         self.max_wait = max_wait_ms / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._compiled = {}
@@ -82,13 +84,17 @@ class InferenceEngine:
         return fut
 
     def predict(self, images: np.ndarray) -> np.ndarray:
-        """Synchronous batch prediction (bypasses the queue)."""
-        n = images.shape[0]
-        bucket = self._bucket_for(n)
-        padded = np.zeros((bucket,) + self.input_shape, np.float32)
-        padded[:n] = images
-        out = self._run(bucket, padded)
-        return np.asarray(out)[:n]
+        """Synchronous batch prediction (bypasses the queue); inputs
+        larger than max_batch are chunked."""
+        outs = []
+        for start in range(0, images.shape[0], self.max_batch):
+            chunk = images[start:start + self.max_batch]
+            n = chunk.shape[0]
+            bucket = self._bucket_for(n)
+            padded = np.zeros((bucket,) + self.input_shape, np.float32)
+            padded[:n] = chunk
+            outs.append(np.asarray(self._run(bucket, padded))[:n])
+        return np.concatenate(outs) if outs else np.empty((0,))
 
     @property
     def stats(self) -> dict:

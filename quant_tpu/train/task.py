@@ -60,16 +60,32 @@ def _restore_into(variables: dict, ckpt_payload: dict,
                 out[col] = jax.tree.map(lambda new, old: jnp.asarray(new),
                                         ckpt_payload[col], out[col])
             else:
-                merged = dict(jax.tree_util.tree_flatten_with_path(out[col]))
                 try:
                     out[col] = jax.tree.map(
                         lambda new, old: jnp.asarray(new),
                         ckpt_payload[col], out[col])
                 except ValueError:
+                    # Structure mismatch: merge leaf-by-path, keeping fresh
+                    # values where the checkpoint has no (or an
+                    # incompatible) counterpart.
+                    restored = {
+                        jax.tree_util.keystr(path): leaf
+                        for path, leaf in
+                        jax.tree_util.tree_leaves_with_path(
+                            ckpt_payload[col])}
+
+                    def merge(path, old):
+                        new = restored.get(jax.tree_util.keystr(path))
+                        if new is not None and \
+                                getattr(new, 'shape', None) == old.shape:
+                            return jnp.asarray(new).astype(old.dtype)
+                        return old
+
+                    out[col] = jax.tree_util.tree_map_with_path(
+                        merge, out[col])
                     logger.warning('Non-strict restore: structure mismatch '
-                                   'in %s; keeping fresh values where '
-                                   'missing', col)
-                    del merged
+                                   'in %s; merged by path, fresh values '
+                                   'kept where missing', col)
     return out
 
 
@@ -239,6 +255,7 @@ def classification_task(
         save_freq = int(log_config.get('save_model_freq', epochs))
         # Reference semantics: a restored run trains `epochs` MORE epochs
         # (tasks.py:196: range(start_epoch, start_epoch + epochs)).
+        final_epoch = start_epoch + epochs - 1
         for epoch in range(start_epoch, start_epoch + epochs):
             state, m_train = train_epoch(
                 train_step, state, train_loader, epoch,
@@ -250,7 +267,9 @@ def classification_task(
             train_epoch_metrics.append(m_train)
             test_epoch_metrics.append(m_test)
 
-            if epoch % save_freq == 0 or epoch == epochs:
+            # Always checkpoint the LAST epoch of this run (for a resumed
+            # run that is start_epoch+epochs-1, not `epochs`).
+            if epoch % save_freq == 0 or epoch == final_epoch:
                 save_checkpoint(
                     exp_dir / 'checkpoints',
                     {'params': state.params,
