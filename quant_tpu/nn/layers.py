@@ -369,10 +369,24 @@ class QuantConv2d(nn.Module):
         if use_packed:
             from quant_tpu.ops import binary_infer as BI
             out_dtype = self.eval_dtype or jnp.float32
-            planes = BI.weight_sign_planes(w_oi, self.w_quant, w_vs)
-            w_packed = jnp.stack([
-                BI.pack_weights(jnp.moveaxis(p, 0, -1)) for p in planes])
-            w_scales = BI.weight_scales_for_planes(self.w_quant, w_vs)
+            if self.has_variable('packed_params', 'w_packed'):
+                # Exported deployment: packed sign words + scales were
+                # computed once offline (quant_tpu/nn/export.py) — no
+                # per-forward re-quantize/re-pack of the fp kernel.
+                w_packed = self.get_variable('packed_params', 'w_packed')
+                w_scales = self.get_variable('packed_params', 'w_scales')
+            else:
+                planes = BI.weight_sign_planes(w_oi, self.w_quant, w_vs)
+                w_packed = jnp.stack([
+                    BI.pack_weights(jnp.moveaxis(p, 0, -1))
+                    for p in planes])
+                w_scales = BI.weight_scales_for_planes(self.w_quant, w_vs)
+                if self.is_mutable_collection('packed_params'):
+                    # Export pass: persist for later applies.
+                    self.variable('packed_params', 'w_packed',
+                                  lambda: w_packed)
+                    self.variable('packed_params', 'w_scales',
+                                  lambda: w_scales)
             if self.x_quant == 'fp':
                 return BI.fp_activation_conv_infer(
                     x_clamped, w_packed=w_packed, w_vs=w_scales,
