@@ -58,6 +58,12 @@ def main() -> None:
             lambda v: jnp.full_like(v, 0.5),
             variables.get('quant_state', {}))
 
+    # Pack all quantized weights once; the engine serves from the packed
+    # artifact (1 bit/weight) instead of re-packing per forward.
+    from quant_tpu.nn.export import export_packed_variables
+    variables = export_packed_variables(model, variables,
+                                        jnp.zeros((1,) + shape))
+
     packed = model.clone(inference_mode='packed',
                          eval_dtype=jnp.bfloat16)
     engine = InferenceEngine(packed.apply, variables, shape,
