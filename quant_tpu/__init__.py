@@ -23,4 +23,12 @@ Layer map (bottom-up):
   config/    YAML config schema (reference-compatible) + CLI parsing
 """
 
+from typing import Callable, Dict
+
 __version__ = '0.1.0'
+
+# Reference-parity aliases (quant/__init__.py:18-29): per-batch hook
+# callables threaded through the train/eval loops, and the metric-dict
+# shape the task driver produces.
+Hook = Callable[..., None]
+MetricDict = Dict[str, float]
