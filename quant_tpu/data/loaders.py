@@ -109,6 +109,44 @@ def random_crop_flip(images: np.ndarray, rng: np.random.Generator,
     return out
 
 
+_GRAY = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R 601-2 luma
+
+
+def apply_color_jitter(img: np.ndarray, fb: float, fc: float,
+                       fs: float, order=(0, 1, 2)) -> np.ndarray:
+    """Deterministic core of ColorJitter on a [0,1] float HWC image.
+
+    torchvision semantics (reference data_loaders.py:334 uses
+    ColorJitter(0.4, 0.4, 0.4)): each transform blends toward a target
+    and clamps to [0,1]; they are applied in a random order.
+      brightness: img * fb
+      contrast:   img * fc + (1 - fc) * mean(gray(img))
+      saturation: img * fs + (1 - fs) * gray(img) (per pixel)
+    """
+    for which in order:
+        if which == 0:
+            img = img * fb
+        elif which == 1:
+            mean = (img @ _GRAY).mean(dtype=np.float32)
+            img = img * fc + (1.0 - fc) * mean
+        else:
+            gray = (img @ _GRAY)[..., None]
+            img = img * fs + (1.0 - fs) * gray
+        img = np.clip(img, 0.0, 1.0)
+    return img
+
+
+def color_jitter(img: np.ndarray, rng: np.random.Generator,
+                 brightness: float = 0.4, contrast: float = 0.4,
+                 saturation: float = 0.4) -> np.ndarray:
+    """Random ColorJitter: factors ~ U[max(0, 1-a), 1+a], random order."""
+    fb = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+    fc = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+    fs = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+    order = rng.permutation(3)
+    return apply_color_jitter(img, fb, fc, fs, order)
+
+
 class QuantDataLoader:
     """Base loader: reference QuantDataLoader ABC semantics."""
 
@@ -122,6 +160,7 @@ class QuantDataLoader:
         self.test_subset = test_subset
         self.seed = seed
         self.drop_last = drop_last
+        self.workers = workers
 
     def get_train_loader(self) -> BatchIterable:
         raise NotImplementedError
@@ -244,14 +283,25 @@ class CIFAR100DataLoader(_CIFARBase):
 class ImageNetDataLoader(QuantDataLoader):
     """ImageNet from the standard train/val class-folder layout.
 
-    Decoding uses PIL when available. Train: RandomResizedCrop(224)+HFlip;
-    test: Resize(256)+CenterCrop(224); ImageNet normalization. Images are
-    decoded lazily per batch (the full set does not fit in RAM).
+    Decoding uses PIL. Train aug parity with the reference
+    (data_loaders.py:330-338): RandomResizedCrop(224) + HFlip +
+    ColorJitter(0.4, 0.4, 0.4); test: Resize(256) + CenterCrop(224);
+    ImageNet normalization. Images are decoded lazily per batch (the full
+    set does not fit in RAM).
+
+    Pipeline: per-image decode fans out over a thread pool (`workers`
+    threads, default 8 — PIL decode/IO release the GIL) and a background
+    producer keeps 2 batches prefetched, so host input work overlaps
+    device compute (the reference's num_workers analog,
+    data_loaders.py:345). Each image draws its augmentation from its own
+    rng seeded by (seed, epoch, index): deterministic under any thread
+    interleaving.
     """
 
     MEAN = np.array([0.485, 0.456, 0.406], np.float32)
     STD = np.array([0.229, 0.224, 0.225], np.float32)
     CROP, RESIZE = 224, 256
+    JITTER = (0.4, 0.4, 0.4)
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
@@ -302,13 +352,20 @@ class ImageNetDataLoader(QuantDataLoader):
             y0 = (h2 - self.CROP) // 2
             img = img.crop((x0, y0, x0 + self.CROP, y0 + self.CROP))
         arr = np.asarray(img, np.float32) / 255.0
+        if train:
+            arr = color_jitter(arr, rng, *self.JITTER)
         return (arr - self.MEAN) / self.STD
 
     def _loader(self, split: str, batch_size: int, train: bool):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from quant_tpu.data.prefetch import PrefetchIterable
+
         files, labels = self._index_split(split)
         if not train:
             files, labels = self._subset(np.asarray(files, object), labels)
         loader_self = self
+        nworkers = self.workers or 8
 
         class _Lazy:
             num_examples = len(labels)
@@ -319,21 +376,24 @@ class ImageNetDataLoader(QuantDataLoader):
 
             def __iter__(self):
                 order = np.arange(len(labels))
-                # Per-epoch reshuffle/augment stream (mixing the epoch
-                # into the seed, like BatchIterable).
-                rng = np.random.default_rng(
-                    loader_self.seed + type(self)._epoch)
+                epoch = type(self)._epoch
                 type(self)._epoch += 1
                 if train:
-                    rng.shuffle(order)
-                for s in range(0, len(labels), batch_size):
-                    idx = order[s:s + batch_size]
-                    imgs = np.stack([
-                        loader_self._decode(files[i], train, rng)
-                        for i in idx])
-                    yield imgs, labels[idx].astype(np.int32)
+                    np.random.default_rng(
+                        loader_self.seed + epoch).shuffle(order)
 
-        return _Lazy()
+                def decode_one(i):
+                    rng = np.random.default_rng(np.random.SeedSequence(
+                        [loader_self.seed, epoch, int(i)]))
+                    return loader_self._decode(files[i], train, rng)
+
+                with ThreadPoolExecutor(nworkers) as pool:
+                    for s in range(0, len(labels), batch_size):
+                        idx = order[s:s + batch_size]
+                        imgs = np.stack(list(pool.map(decode_one, idx)))
+                        yield imgs, labels[idx].astype(np.int32)
+
+        return PrefetchIterable(_Lazy(), depth=2)
 
     def get_train_loader(self):
         return self._loader('train', self.train_batch_size, train=True)

@@ -51,8 +51,14 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(**kwargs)
         _initialized = True
     except Exception as e:
-        # Already-initialized backends or single-host auto-detection both
-        # land here; record so we do not retry every call.
+        if coordinator_address is not None:
+            # The pod config EXPLICITLY asked for multi-host; silently
+            # degrading would train N independent replicas. Fail hard.
+            raise RuntimeError(
+                f'jax.distributed.initialize(coordinator_address='
+                f'{coordinator_address!r}) failed: {e}') from e
+        # Auto-detection on a plain single host lands here; record so we
+        # do not retry every call.
         _initialized = True
         logger.warning('jax.distributed.initialize failed or not needed '
                        '(%s); continuing single-host', e)
@@ -60,14 +66,68 @@ def initialize(coordinator_address: Optional[str] = None,
 
 def host_shard(num_examples: int,
                process_index: Optional[int] = None,
-               process_count: Optional[int] = None) -> tuple[int, int]:
-    """Contiguous [start, stop) slice of the dataset owned by this host."""
+               process_count: Optional[int] = None,
+               equal: bool = False) -> tuple[int, int]:
+    """Contiguous [start, stop) slice of the dataset owned by this host.
+
+    equal=True drops the remainder so every host owns exactly
+    num_examples // process_count rows — required by the train path,
+    where every host must dispatch the same number of identically-shaped
+    steps (a ragged tail would deadlock the collectives).
+    """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
     per = num_examples // pc
     start = pi * per
-    stop = num_examples if pi == pc - 1 else start + per
+    stop = start + per if (equal or pi != pc - 1) else num_examples
     return start, stop
+
+
+class _ShardedBatches:
+    """Per-host view of a batched loader: yields rows [pi::pc] of every
+    batch, so hosts read disjoint rows and step in lockstep. Fallback for
+    loaders without in-memory arrays (e.g. the lazy ImageNet loader);
+    each host still *indexes* the full file list but decodes only its
+    slice when the underlying loader decodes lazily per batch."""
+
+    def __init__(self, inner, pi: int, pc: int):
+        self._inner, self._pi, self._pc = inner, pi, pc
+        self.num_examples = getattr(inner, 'num_examples', 0) // pc
+
+    def __len__(self):
+        return len(self._inner)
+
+    def __iter__(self):
+        for data, target in self._inner:
+            yield data[self._pi::self._pc], target[self._pi::self._pc]
+
+
+def shard_loader_for_host(loader,
+                          process_index: Optional[int] = None,
+                          process_count: Optional[int] = None):
+    """Give this host its disjoint 1/process_count of a batched loader.
+
+    The config batch size is GLOBAL (reference semantics: one logical
+    batch scattered over devices, initialization.py:125-127); each host
+    loads batch_size/process_count rows and `global_batch` assembles the
+    logical array. BatchIterable loaders are resliced at the array level
+    (each host holds only its examples); other loaders get a row-striding
+    wrapper.
+    """
+    from quant_tpu.data.loaders import BatchIterable
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return loader
+    if isinstance(loader, BatchIterable):
+        start, stop = host_shard(loader.num_examples, pi, pc, equal=True)
+        local_bs = max(1, loader.batch_size // pc)
+        return BatchIterable(
+            loader.images[start:stop], loader.labels[start:stop],
+            local_bs, shuffle=loader.shuffle,
+            seed=loader._seed + 7919 * pi, augment=loader.augment,
+            drop_last=True, pad_value=loader.pad_value)
+    return _ShardedBatches(loader, pi, pc)
 
 
 def global_batch(local: np.ndarray, mesh: jax.sharding.Mesh) -> jax.Array:

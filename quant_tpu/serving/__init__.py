@@ -1,3 +1,3 @@
-from quant_tpu.serving.engine import InferenceEngine
+from quant_tpu.serving.engine import InferenceEngine, ServingFrontend
 
-__all__ = ['InferenceEngine']
+__all__ = ['InferenceEngine', 'ServingFrontend']

@@ -59,6 +59,9 @@ class InferenceEngine:
         self.max_wait = max_wait_ms / 1000.0
         self._queue: queue.Queue = queue.Queue()
         self._compiled = {}
+        # One lock guards compile-cache population (two threads racing
+        # into jit would double-compile) and the stats counters.
+        self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stats = {'requests': 0, 'batches': 0, 'padded': 0}
@@ -80,7 +83,8 @@ class InferenceEngine:
                 f'expected shape {self.input_shape}, got {image.shape}')
         fut: Future = Future()
         self._queue.put((np.asarray(image, np.float32), fut))
-        self._stats['requests'] += 1
+        with self._lock:
+            self._stats['requests'] += 1
         return fut
 
     def predict(self, images: np.ndarray) -> np.ndarray:
@@ -98,7 +102,8 @@ class InferenceEngine:
 
     @property
     def stats(self) -> dict:
-        return dict(self._stats)
+        with self._lock:
+            return dict(self._stats)
 
     # -- internals -------------------------------------------------------
 
@@ -109,10 +114,11 @@ class InferenceEngine:
         return self.buckets[-1]
 
     def _run(self, bucket: int, batch: np.ndarray):
-        fn = self._compiled.get(bucket)
-        if fn is None:
-            fn = jax.jit(lambda v, x: self.apply_fn(v, x, False))
-            self._compiled[bucket] = fn
+        with self._lock:
+            fn = self._compiled.get(bucket)
+            if fn is None:
+                fn = jax.jit(lambda v, x: self.apply_fn(v, x, False))
+                self._compiled[bucket] = fn
         return jax.device_get(fn(self.variables, jnp.asarray(batch)))
 
     def _loop(self) -> None:
@@ -147,5 +153,72 @@ class InferenceEngine:
                 continue
             for i, (_, fut) in enumerate(items):
                 fut.set_result(np.asarray(out[i]))
-            self._stats['batches'] += 1
-            self._stats['padded'] += bucket - n
+            with self._lock:
+                self._stats['batches'] += 1
+                self._stats['padded'] += bucket - n
+
+
+class ServingFrontend:
+    """Load balancer over multiple InferenceEngines (the cross-host
+    serving contract).
+
+    Each host runs one engine (its own process/mesh) loaded from the SAME
+    checkpoint; the frontend is pure dispatch and owns no model state.
+    Contract:
+      * `submit` routes to the least-loaded backend (pending-request
+        count, ties broken round-robin) — continuous batching then
+        happens independently inside each engine;
+      * backends are interchangeable: any request may land on any host,
+        so all engines must serve identical variables (checkpoint hash
+        verification is the deployer's responsibility);
+      * a backend raising on a batch fails only its own futures; the
+        frontend keeps dispatching to the remaining engines.
+
+    In a real multi-host deployment the engines sit behind RPC stubs with
+    this same submit(image) -> Future surface; here they are in-process,
+    which is exactly how a per-host colocated frontend runs.
+    """
+
+    def __init__(self, engines: Sequence[InferenceEngine]):
+        if not engines:
+            raise ValueError('ServingFrontend needs at least one engine')
+        self.engines = list(engines)
+        self._rr = 0
+        self._lock = threading.Lock()
+
+    def start(self) -> 'ServingFrontend':
+        for e in self.engines:
+            e.start()
+        return self
+
+    def stop(self) -> None:
+        for e in self.engines:
+            e.stop()
+
+    def _pick(self) -> InferenceEngine:
+        with self._lock:
+            loads = [e._queue.qsize() for e in self.engines]
+            lo = min(loads)
+            n = len(self.engines)
+            for off in range(n):
+                i = (self._rr + off) % n
+                if loads[i] == lo:
+                    self._rr = (i + 1) % n
+                    return self.engines[i]
+            return self.engines[0]  # unreachable
+
+    def submit(self, image: np.ndarray) -> Future:
+        return self._pick().submit(image)
+
+    def predict(self, images: np.ndarray) -> np.ndarray:
+        """Synchronous convenience: scatter rows over backends via
+        submit() and gather in order."""
+        futs = [self.submit(img) for img in images]
+        return np.stack([f.result(timeout=60) for f in futs])
+
+    @property
+    def stats(self) -> dict:
+        per = [e.stats for e in self.engines]
+        return {'engines': per,
+                'requests': sum(s['requests'] for s in per),
+                'batches': sum(s['batches'] for s in per)}

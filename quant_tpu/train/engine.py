@@ -125,8 +125,14 @@ def train_epoch(train_step: Callable, state: TrainState,
                 hooks: Optional[list[Hook]] = None,
                 lr_schedule: Optional[Callable] = None,
                 steps_per_epoch: Optional[int] = None,
+                assemble: Callable = jnp.asarray,
                 ) -> tuple[TrainState, dict[str, float]]:
-    """Run one training epoch; returns (new state, computed metrics)."""
+    """Run one training epoch; returns (new state, computed metrics).
+
+    assemble: host batch -> device array. Default jnp.asarray; multi-host
+    runs pass `parallel.multihost.global_batch` so each host's local rows
+    form one logical DP-sharded global batch.
+    """
     hooks = hooks or []
     metrics = MetricAccumulator()
     metric_state = metrics.state
@@ -136,8 +142,8 @@ def train_epoch(train_step: Callable, state: TrainState,
     # device_get per batch in the hook path.
     host_step = int(jax.device_get(state.step))
     for batch_idx, (data, target) in enumerate(loader):
-        data = jnp.asarray(data)
-        target = jnp.asarray(target)
+        data = assemble(data)
+        target = assemble(target)
         state, metric_state, loss = train_step(state, data, target,
                                                metric_state)
         host_step += 1
@@ -159,15 +165,16 @@ def train_epoch(train_step: Callable, state: TrainState,
 
 def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
              epoch: int = 1,
-             hooks: Optional[list[Hook]] = None) -> dict[str, float]:
+             hooks: Optional[list[Hook]] = None,
+             assemble: Callable = jnp.asarray) -> dict[str, float]:
     """Evaluate on a held-out set; returns computed metrics."""
     hooks = hooks or []
     metrics = MetricAccumulator()
     metric_state = metrics.state
     batch_idx = 0
     for batch_idx, (data, target) in enumerate(loader):
-        data = jnp.asarray(data)
-        target = jnp.asarray(target)
+        data = assemble(data)
+        target = assemble(target)
         metric_state, _ = eval_step(state, data, target, metric_state)
     for hook in hooks:
         hook(epoch=epoch, global_step=batch_idx + 1)

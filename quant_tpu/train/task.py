@@ -169,6 +169,23 @@ def classification_task(
     train_loader = None if skip_training else data_loader.get_train_loader()
     test_loader = data_loader.get_test_loader()
 
+    # Multi-host input: each host loads its disjoint 1/process_count of
+    # every dataset and the step consumes one logical global batch
+    # assembled from the per-host shards (the TPU-native replacement for
+    # DataParallel's implicit scatter, initialization.py:125-127).
+    assemble: Callable = jnp.asarray
+    if jax.process_count() > 1 and mesh is not None:
+        from quant_tpu.parallel.multihost import (
+            global_batch, shard_loader_for_host,
+        )
+        if train_loader is not None:
+            train_loader = shard_loader_for_host(train_loader)
+        test_loader = shard_loader_for_host(test_loader)
+
+        def assemble(a, _mesh=mesh):
+            import numpy as _np
+            return global_batch(_np.asarray(a), _mesh)
+
     epochs = int(optimization_config['epochs'])
     seed = config.get('seed')
 
@@ -250,7 +267,7 @@ def classification_task(
     if skip_training:
         test_epoch_metrics.append(
             evaluate(eval_step, state, test_loader, epoch=1,
-                     hooks=test_hooks))
+                     hooks=test_hooks, assemble=assemble))
     else:
         save_freq = int(log_config.get('save_model_freq', epochs))
         # Reference semantics: a restored run trains `epochs` MORE epochs
@@ -261,9 +278,9 @@ def classification_task(
                 train_step, state, train_loader, epoch,
                 log_interval=int(log_config.get('interval', 10)),
                 hooks=train_hooks, lr_schedule=lr_schedule,
-                steps_per_epoch=len(train_loader))
+                steps_per_epoch=len(train_loader), assemble=assemble)
             m_test = evaluate(eval_step, state, test_loader, epoch=epoch,
-                              hooks=test_hooks)
+                              hooks=test_hooks, assemble=assemble)
             train_epoch_metrics.append(m_train)
             test_epoch_metrics.append(m_test)
 

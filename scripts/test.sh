@@ -8,6 +8,10 @@
 # touching the axon plugin.
 set -euo pipefail
 cd "$(dirname "$0")/.."
+args=("$@")
+if [ ${#args[@]} -eq 0 ]; then
+    args=(tests/ -q)
+fi
 exec env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     XLA_FLAGS="--xla_force_host_platform_device_count=8" \
-    python -m pytest "${@:-tests/ -q}"
+    python -m pytest "${args[@]}"

@@ -6,8 +6,11 @@ import jax
 import numpy as np
 import pytest
 
+from quant_tpu.data.loaders import BatchIterable
 from quant_tpu.parallel import make_mesh
-from quant_tpu.parallel.multihost import global_batch, host_shard
+from quant_tpu.parallel.multihost import (
+    global_batch, host_shard, shard_loader_for_host,
+)
 
 
 def test_host_shard_partitions_dataset():
@@ -28,6 +31,79 @@ def test_host_shard_uses_jax_process_info():
          mock.patch.object(jax, 'process_count', return_value=8):
         start, stop = host_shard(80)
         assert (start, stop) == (20, 30)
+
+
+def test_host_shard_equal_mode_uniform_sizes():
+    # equal=True: every host owns exactly n // pc rows (lockstep steps).
+    n, pc = 103, 4
+    slices = [host_shard(n, pi, pc, equal=True) for pi in range(pc)]
+    sizes = [b - a for a, b in slices]
+    assert sizes == [25, 25, 25, 25]
+    assert slices[-1][1] == 100  # remainder dropped
+
+
+def test_shard_loader_for_host_disjoint_cover():
+    """Each host's BatchIterable shard reads a disjoint slice; the union
+    of all host shards covers all but the dropped remainder, and every
+    host yields the same number of equally-sized batches."""
+    n, pc, bs = 130, 4, 32
+    images = np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1)
+    labels = np.arange(n)
+    loader = BatchIterable(images, labels, bs, shuffle=False)
+    shards = [shard_loader_for_host(loader, pi, pc) for pi in range(pc)]
+    all_labels: list[int] = []
+    batch_counts = []
+    for sh in shards:
+        batches = list(sh)
+        batch_counts.append(len(batches))
+        for x, y in batches:
+            assert x.shape[0] == bs // pc
+            all_labels.extend(int(v) for v in y)
+    assert batch_counts == [batch_counts[0]] * pc
+    assert len(all_labels) == len(set(all_labels))  # disjoint
+    per = n // pc
+    expected = set()
+    for pi in range(pc):
+        expected |= set(range(pi * per, pi * per + (per // (bs // pc))
+                              * (bs // pc)))
+    assert set(all_labels) == expected
+
+
+def test_shard_loader_single_process_is_identity():
+    images = np.zeros((8, 1, 1, 1), np.float32)
+    loader = BatchIterable(images, np.arange(8), 4, shuffle=False)
+    assert shard_loader_for_host(loader, 0, 1) is loader
+
+
+def test_shard_loader_generic_wrapper_strides_rows():
+    # Non-BatchIterable loaders (e.g. lazy ImageNet) get row striding.
+    class Lazy:
+        num_examples = 8
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            yield (np.arange(8).reshape(4, 2), np.arange(4))
+            yield (np.arange(8, 16).reshape(4, 2), np.arange(4, 8))
+
+    s0 = shard_loader_for_host(Lazy(), 0, 2)
+    s1 = shard_loader_for_host(Lazy(), 1, 2)
+    rows0 = np.concatenate([y for _, y in s0])
+    rows1 = np.concatenate([y for _, y in s1])
+    np.testing.assert_array_equal(rows0, [0, 2, 4, 6])
+    np.testing.assert_array_equal(rows1, [1, 3, 5, 7])
+    assert s0.num_examples == 4
+
+
+def test_initialize_fails_hard_with_explicit_coordinator():
+    import quant_tpu.parallel.multihost as mh
+    with mock.patch.object(mh, '_initialized', False), \
+         mock.patch.object(jax.distributed, 'initialize',
+                           side_effect=RuntimeError('no coordinator')):
+        with pytest.raises(RuntimeError, match='coordinator'):
+            mh.initialize(coordinator_address='10.0.0.1:1234',
+                          num_processes=2, process_id=0)
 
 
 def test_global_batch_single_process_shards_over_data():

@@ -1,8 +1,10 @@
 """Serving engine tests: batching, padding masks, future resolution."""
 
+import threading
+
 import numpy as np
 
-from quant_tpu.serving import InferenceEngine
+from quant_tpu.serving import InferenceEngine, ServingFrontend
 
 SHAPE = (8, 8, 1)
 
@@ -57,3 +59,41 @@ def test_shape_validation():
     import pytest
     with pytest.raises(ValueError):
         eng.submit(np.zeros((4, 4, 1), np.float32))
+
+
+def test_concurrent_predict_thread_safe(rng):
+    """Two threads calling predict() concurrently: no double-compile
+    crash, correct results from both."""
+    eng = _engine()
+    imgs = rng.standard_normal((6,) + SHAPE).astype(np.float32)
+    outs = {}
+
+    def work(tid):
+        outs[tid] = eng.predict(imgs)
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=60)
+    m = imgs.mean(axis=(1, 2, 3))
+    for tid in range(2):
+        np.testing.assert_allclose(outs[tid][:, 0], m + 1.0, rtol=1e-5)
+
+
+def test_frontend_two_engines_balanced(rng):
+    """2-engine frontend (the per-host cross-host serving story): all
+    requests answered correctly, both backends exercised."""
+    front = ServingFrontend([_engine(max_wait_ms=5.0),
+                             _engine(max_wait_ms=5.0)]).start()
+    try:
+        imgs = rng.standard_normal((12,) + SHAPE).astype(np.float32)
+        out = front.predict(imgs)
+        m = imgs.mean(axis=(1, 2, 3))
+        np.testing.assert_allclose(out[:, 0], m + 1.0, rtol=1e-5)
+        s = front.stats
+        assert s['requests'] == 12
+        # Least-loaded + round-robin must spread the burst over both.
+        assert all(e['requests'] > 0 for e in s['engines'])
+    finally:
+        front.stop()
