@@ -65,7 +65,7 @@ def _quantize_with_scheme(scheme: str, x: jax.Array,
     return Q.quantizer_gf(x, k, vs)
 
 
-def torch_conv_kernel_init(dtype=jnp.float32) -> Callable:
+def torch_conv_kernel_init(dtype: Any = jnp.float32) -> Callable:
     """torch nn.Conv2d default init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 
     (kaiming_uniform with a=sqrt(5); fan_in = Cin/groups * kh * kw.)
@@ -74,7 +74,7 @@ def torch_conv_kernel_init(dtype=jnp.float32) -> Callable:
         scale=1.0 / 3.0, mode='fan_in', distribution='uniform', dtype=dtype)
 
 
-def torch_bias_init(fan_in: int, dtype=jnp.float32) -> Callable:
+def torch_bias_init(fan_in: int, dtype: Any = jnp.float32) -> Callable:
     """torch Conv2d/Linear bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
     bound = 1.0 / (fan_in ** 0.5) if fan_in > 0 else 0.0
 
@@ -324,6 +324,11 @@ class QuantConv2d(nn.Module):
     # (e.g. jnp.bfloat16): conv accumulation stays exact f32; everything
     # between convs runs/streams at half the HBM bytes.
     eval_dtype: Optional[Any] = None
+    # Collapse the k_a*k_w sign-plane passes of the packed path into ONE
+    # conv (binary_infer.quant_conv2d_infer fused=True): multi-bit schemes
+    # run at 1-bit speed; single-plane sides stay bit-exact, k>=2 sides
+    # incur only bf16 input rounding. False = bit-exact multi-pass.
+    pass_fusion: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -391,13 +396,14 @@ class QuantConv2d(nn.Module):
                 return BI.fp_activation_conv_infer(
                     x_clamped, w_packed=w_packed, w_vs=w_scales,
                     in_channels=cin, bias=bias, stride=self.stride,
-                    padding=self.padding, out_dtype=out_dtype)
+                    padding=self.padding, out_dtype=out_dtype,
+                    fused=self.pass_fusion)
             return BI.quant_conv2d_infer(
                 x_clamped, x_scheme=self.x_quant, x_vs=x_vs,
                 w_packed=w_packed, w_vs=w_scales, in_channels=cin,
                 bias=bias, stride=self.stride, padding=self.padding,
                 w_planes_share_scale=(self.w_quant == 'ls-T'),
-                out_dtype=out_dtype)
+                out_dtype=out_dtype, fused=self.pass_fusion)
 
         return conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
                       groups=self.groups, bias=bias)

@@ -34,6 +34,7 @@ class QLeNet5(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    pass_fusion: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -58,6 +59,7 @@ class QLeNet5(nn.Module):
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode,
             eval_dtype=dt,
+            pass_fusion=self.pass_fusion,
             name='conv2',
         )(x, train)
         x = nn.relu(x)

@@ -67,6 +67,7 @@ class RegularBasicBlock(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    pass_fusion: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -79,6 +80,7 @@ class RegularBasicBlock(nn.Module):
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode, eval_dtype=dt,
+            pass_fusion=self.pass_fusion,
             use_bias=False, padding=1,
         )
         out = QuantConv2d(self.planes, 3, stride=self.stride,
@@ -109,6 +111,7 @@ class XnorBasicBlock(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    pass_fusion: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -121,6 +124,7 @@ class XnorBasicBlock(nn.Module):
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode, eval_dtype=dt,
+            pass_fusion=self.pass_fusion,
             use_bias=True, padding=1,
         )
         shortcut = _Shortcut(self.planes, self.stride, use_bias=True,
@@ -168,6 +172,7 @@ class QResNet(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    pass_fusion: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -208,6 +213,7 @@ class QResNet(nn.Module):
                 solver_mode=self.solver_mode,
                 inference_mode=self.inference_mode,
                 eval_dtype=self.eval_dtype,
+                pass_fusion=self.pass_fusion,
                 **cfg,  # e.g. double_shortcut for xnor blocks
             )
             for b in range(self.num_blocks[s]):

@@ -20,7 +20,7 @@ production inference paths the reference lacks:
 Layouts: NHWC activations, HWIO weights, matching the rest of the stack.
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -86,7 +86,7 @@ def pack_weights(w: jax.Array) -> jax.Array:
 
 
 def unpack_weights_int8(packed: jax.Array, in_channels: int,
-                        dtype=SIGN_COMPUTE_DTYPE) -> jax.Array:
+                        dtype: Any = SIGN_COMPUTE_DTYPE) -> jax.Array:
     """Unpack packed HWIO-sign words to a {-1,+1} HWIO tensor."""
     p_t = jnp.moveaxis(packed, 2, -1)     # (kh, kw, O, Wd)
     signs = unpack_signs(p_t, in_channels, dtype=dtype)
@@ -94,7 +94,7 @@ def unpack_weights_int8(packed: jax.Array, in_channels: int,
 
 
 def binary_conv_int8(x_signs: jax.Array, w_signs: jax.Array, *,
-                     stride=1, padding=0) -> jax.Array:
+                     stride: Any = 1, padding: Any = 0) -> jax.Array:
     """Sign-plane conv on the MXU with exact f32 accumulation."""
     return conv2d(x_signs, w_signs, stride=stride, padding=padding,
                   preferred_element_type=jnp.float32)
@@ -118,7 +118,8 @@ def activation_sign_planes(x: jax.Array, scheme: str,
     if scheme == 'ls-2':
         b1 = binary_sign(x)
         b2 = binary_sign(x - per_sample(vs[0]) * b1)
-        return ([b1.astype(SIGN_COMPUTE_DTYPE), b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[1]])
+        return ([b1.astype(SIGN_COMPUTE_DTYPE),
+                 b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[1]])
     if scheme == 'ls-T':
         # Both ternary passes share one scale, so the two sign planes fuse
         # into ONE conv over (b1 + b2) in {-2, 0, +2} — exact in bf16 and
@@ -144,11 +145,25 @@ def quant_conv2d_infer(x: jax.Array, *,
                        w_packed: jax.Array, w_vs: jax.Array,
                        in_channels: int,
                        bias: Optional[jax.Array] = None,
-                       stride=1, padding=0,
-                       clamp_fn=None,
+                       stride: Any = 1, padding: Any = 0,
+                       clamp_fn: Optional[Any] = None,
                        w_planes_share_scale: bool = False,
-                       out_dtype=jnp.float32) -> jax.Array:
-    """Full packed-weight quantized conv: multi-pass binary convs + epilogue.
+                       out_dtype: Any = jnp.float32,
+                       fused: bool = True) -> jax.Array:
+    """Full packed-weight quantized conv.
+
+    fused=True (default, the production path): ALL k_a x k_w sign-plane
+    passes collapse into ONE conv. The pass loop is linear —
+        sum_{i,j} vx_i vw_j conv(bx_i, bw_j)
+          = conv(sum_i vx_i bx_i, sum_j vw_j bw_j)
+    — so a multi-bit scheme costs the same MXU time as 1-bit. Schemes
+    whose side has a single effective plane (ls-1; ls-T via the shared
+    scale) keep the exact +-1/+-2 bf16 operand with the scale applied in
+    the f32 epilogue, i.e. stay BIT-EXACT vs the dense path. Sides with
+    k >= 2 distinct scales bake the scales into a dense bf16 operand
+    (values +-v1+-v2): the only error is bf16 input rounding, relative
+    <= 2^-9 — far below QAT noise. fused=False runs the bit-exact
+    k_a*k_w multi-pass loop (the round-1 path; parity oracle).
 
     Args:
         x: fp NHWC activations (pre-clamp).
@@ -178,14 +193,37 @@ def quant_conv2d_infer(x: jax.Array, *,
         w_sign_sets = [(unpack_weights_int8(w_packed[j], in_channels),
                         w_vs[j]) for j in range(k_w)]
 
-    acc = None
-    for w_signs, vw in w_sign_sets:
-        for bx, vx in zip(x_planes, x_scales):
-            y = binary_conv_int8(bx, w_signs, stride=stride, padding=padding)
-            scale = (vx.reshape(n, 1, 1, 1).astype(jnp.float32)
-                     * vw.reshape(1, 1, 1, -1).astype(jnp.float32))
-            term = (y * scale).astype(out_dtype)
-            acc = term if acc is None else acc + term
+    if fused:
+        if len(x_planes) == 1:
+            x_op, vx_epi = x_planes[0], x_scales[0]
+        else:
+            xa = sum(vx.reshape(n, 1, 1, 1).astype(jnp.float32)
+                     * p.astype(jnp.float32)
+                     for p, vx in zip(x_planes, x_scales))
+            x_op, vx_epi = xa.astype(SIGN_COMPUTE_DTYPE), None
+        if len(w_sign_sets) == 1:
+            w_op, vw_epi = w_sign_sets[0]
+        else:
+            wa = sum(ws.astype(jnp.float32)
+                     * vw.reshape(1, 1, 1, -1).astype(jnp.float32)
+                     for ws, vw in w_sign_sets)
+            w_op, vw_epi = wa.astype(SIGN_COMPUTE_DTYPE), None
+        y = binary_conv_int8(x_op, w_op, stride=stride, padding=padding)
+        if vx_epi is not None:
+            y = y * vx_epi.reshape(n, 1, 1, 1).astype(jnp.float32)
+        if vw_epi is not None:
+            y = y * vw_epi.reshape(1, 1, 1, -1).astype(jnp.float32)
+        acc = y.astype(out_dtype)
+    else:
+        acc = None
+        for w_signs, vw in w_sign_sets:
+            for bx, vx in zip(x_planes, x_scales):
+                y = binary_conv_int8(bx, w_signs, stride=stride,
+                                     padding=padding)
+                scale = (vx.reshape(n, 1, 1, 1).astype(jnp.float32)
+                         * vw.reshape(1, 1, 1, -1).astype(jnp.float32))
+                term = (y * scale).astype(out_dtype)
+                acc = term if acc is None else acc + term
     if bias is not None:
         acc = acc + bias.astype(out_dtype)
     return acc
@@ -195,23 +233,38 @@ def fp_activation_conv_infer(x: jax.Array, *,
                              w_packed: jax.Array, w_vs: jax.Array,
                              in_channels: int,
                              bias: Optional[jax.Array] = None,
-                             stride=1, padding=0,
-                             clamp_fn=None,
-                             out_dtype=jnp.float32) -> jax.Array:
+                             stride: Any = 1, padding: Any = 0,
+                             clamp_fn: Optional[Any] = None,
+                             out_dtype: Any = jnp.float32,
+                             fused: bool = True) -> jax.Array:
     """fp activations x binary weights: bf16 conv against unpacked signs
-    with the per-channel scale epilogue (the k_a=32, k_w=1 configs)."""
+    with the per-channel scale epilogue (the k_a=32, k_w=1 configs).
+
+    fused=True collapses k_w > 1 weight planes into one dense bf16 kernel
+    (scales baked in; bf16 weight rounding only) — one conv pass."""
     if clamp_fn is not None:
         x = clamp_fn(x)
     if w_packed.ndim == 4:
         w_packed = w_packed[None]
-    acc = None
-    for j in range(w_packed.shape[0]):
-        w_signs = unpack_weights_int8(
-            w_packed[j], in_channels).astype(jnp.bfloat16)
-        y = conv2d(x.astype(jnp.bfloat16), w_signs, stride=stride,
-                   padding=padding, preferred_element_type=jnp.float32)
-        term = (y * w_vs[j].reshape(1, 1, 1, -1)).astype(out_dtype)
-        acc = term if acc is None else acc + term
+    k_w = w_packed.shape[0]
+    if fused and k_w > 1:
+        wa = sum(unpack_weights_int8(w_packed[j], in_channels,
+                                     dtype=jnp.float32)
+                 * w_vs[j].reshape(1, 1, 1, -1).astype(jnp.float32)
+                 for j in range(k_w))
+        y = conv2d(x.astype(jnp.bfloat16), wa.astype(jnp.bfloat16),
+                   stride=stride, padding=padding,
+                   preferred_element_type=jnp.float32)
+        acc = y.astype(out_dtype)
+    else:
+        acc = None
+        for j in range(k_w):
+            w_signs = unpack_weights_int8(
+                w_packed[j], in_channels).astype(jnp.bfloat16)
+            y = conv2d(x.astype(jnp.bfloat16), w_signs, stride=stride,
+                       padding=padding, preferred_element_type=jnp.float32)
+            term = (y * w_vs[j].reshape(1, 1, 1, -1)).astype(out_dtype)
+            acc = term if acc is None else acc + term
     if bias is not None:
         acc = acc + bias.astype(out_dtype)
     return acc

@@ -40,10 +40,13 @@ def _dense_oracle(x_q, w_q, bias, stride, padding):
     return conv2d(x_q, w_q, stride=stride, padding=padding, bias=bias)
 
 
+@pytest.mark.parametrize('fused', [False, True])
 @pytest.mark.parametrize('x_scheme', ['ls-1', 'ls-2', 'ls-T', 'gf-2'])
-def test_packed_infer_matches_dense(rng, x_scheme):
-    """The packed int8 multi-pass conv must match the dense fp simulated
-    conv (the reference-semantics oracle) for every activation scheme."""
+def test_packed_infer_matches_dense(rng, x_scheme, fused):
+    """The packed conv must match the dense fp simulated conv (the
+    reference-semantics oracle) for every activation scheme, in both the
+    bit-exact multi-pass mode and the single-pass fused mode (whose only
+    extra error is bf16 input rounding for k>=2 plane combination)."""
     n, h, w_dim, cin, cout = 2, 8, 8, 36, 8
     x = jnp.asarray(rng.standard_normal((n, h, w_dim, cin)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
@@ -67,9 +70,11 @@ def test_packed_infer_matches_dense(rng, x_scheme):
     got = quant_conv2d_infer(
         x, x_scheme=x_scheme, x_vs=x_vs,
         w_packed=packed, w_vs=w_vs, in_channels=cin,
-        bias=bias, stride=1, padding=1)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
-                               rtol=2e-3, atol=2e-3)
+        bias=bias, stride=1, padding=1, fused=fused)
+    multi_plane = fused and x_scheme in ('ls-2', 'gf-2')
+    tol = dict(rtol=2e-2, atol=5e-2) if multi_plane \
+        else dict(rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle), **tol)
 
 
 def test_packed_infer_ls2_weights(rng):
@@ -91,11 +96,18 @@ def test_packed_infer_ls2_weights(rng):
     packed = jnp.stack([
         pack_weights(jnp.moveaxis(b1, 0, -1)),
         pack_weights(jnp.moveaxis(b2, 0, -1))])
-    got = quant_conv2d_infer(
+    got_multi = quant_conv2d_infer(
         x, x_scheme='ls-1', x_vs=x_vs,
-        w_packed=packed, w_vs=w_vs, in_channels=cin, stride=1, padding=1)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+        w_packed=packed, w_vs=w_vs, in_channels=cin, stride=1, padding=1,
+        fused=False)
+    np.testing.assert_allclose(np.asarray(got_multi), np.asarray(oracle),
                                rtol=2e-3, atol=2e-3)
+    got_fused = quant_conv2d_infer(
+        x, x_scheme='ls-1', x_vs=x_vs,
+        w_packed=packed, w_vs=w_vs, in_channels=cin, stride=1, padding=1,
+        fused=True)
+    np.testing.assert_allclose(np.asarray(got_fused), np.asarray(oracle),
+                               rtol=2e-2, atol=5e-2)
 
 
 def test_fp_activation_packed_weights(rng):
@@ -113,3 +125,43 @@ def test_fp_activation_packed_weights(rng):
     # bf16 activations: coarser tolerance.
     np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
                                rtol=3e-2, atol=8e-2)
+
+
+def _count_convs(fn, *args, **kwargs):
+    jaxpr = jax.make_jaxpr(lambda *a: fn(*a, **kwargs))(*args)
+    return str(jaxpr).count('conv_general_dilated')
+
+
+@pytest.mark.parametrize('x_scheme,k_w', [
+    ('ls-1', 1), ('ls-2', 1), ('ls-T', 1), ('gf-2', 1), ('ls-2', 2),
+])
+def test_fused_runs_single_conv(rng, x_scheme, k_w):
+    """fused=True must emit exactly ONE conv regardless of k_a*k_w;
+    fused=False emits one per plane pair."""
+    n, cin, cout = 2, 32, 4
+    x = jnp.asarray(rng.standard_normal((n, 6, 6, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+    w_oi = jnp.moveaxis(w, -1, 0)
+    if k_w == 1:
+        w_vs, w_q_oi = quantizer_ls_1(w_oi)
+        packed = pack_weights(jnp.moveaxis(binary_sign(w_oi), 0, -1))
+    else:
+        w_vs, _ = quantizer_ls_2(w_oi, skip=1)
+        b1 = binary_sign(w_oi)
+        b2 = binary_sign(w_oi - w_vs[0][:, None, None, None] * b1)
+        packed = jnp.stack([pack_weights(jnp.moveaxis(b1, 0, -1)),
+                            pack_weights(jnp.moveaxis(b2, 0, -1))])
+    qfn = {'ls-1': quantizer_ls_1,
+           'ls-2': lambda t: quantizer_ls_2(t, skip=1),
+           'ls-T': lambda t: quantizer_ls_ternary(t, skip=1),
+           'gf-2': lambda t: quantizer_gf(t, 2)}[x_scheme]
+    x_vs, _ = qfn(x)
+
+    def run(x, fused):
+        return quant_conv2d_infer(
+            x, x_scheme=x_scheme, x_vs=x_vs, w_packed=packed, w_vs=w_vs,
+            in_channels=cin, stride=1, padding=1, fused=fused)
+
+    assert _count_convs(run, x, fused=True) == 1
+    planes = {'ls-1': 1, 'ls-2': 2, 'ls-T': 1, 'gf-2': 2}[x_scheme]
+    assert _count_convs(run, x, fused=False) == planes * k_w
