@@ -23,7 +23,6 @@ import argparse
 import datetime
 import logging
 from pathlib import Path
-from typing import Optional
 
 import yaml
 

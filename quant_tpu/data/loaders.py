@@ -17,7 +17,6 @@ pipeline can slot in behind the same iterator contract).
 
 import gzip
 import logging
-import os
 import pickle
 import struct
 from pathlib import Path
@@ -113,7 +112,8 @@ _GRAY = np.array([0.299, 0.587, 0.114], np.float32)  # ITU-R 601-2 luma
 
 
 def apply_color_jitter(img: np.ndarray, fb: float, fc: float,
-                       fs: float, order=(0, 1, 2)) -> np.ndarray:
+                       fs: float,
+                       order: object = (0, 1, 2)) -> np.ndarray:
     """Deterministic core of ColorJitter on a [0,1] float HWC image.
 
     torchvision semantics (reference data_loaders.py:334 uses
@@ -215,12 +215,12 @@ class MNISTDataLoader(QuantDataLoader):
         x = (images.astype(np.float32) / 255.0 - self.MEAN) / self.STD
         return x[..., None], labels
 
-    def get_train_loader(self):
+    def get_train_loader(self) -> BatchIterable:
         x, y = self._load('train')
         return BatchIterable(x, y, self.train_batch_size, shuffle=True,
                              seed=self.seed, drop_last=self.drop_last)
 
-    def get_test_loader(self):
+    def get_test_loader(self) -> BatchIterable:
         x, y = self._subset(*self._load('test'))
         return BatchIterable(x, y, self.test_batch_size, shuffle=False)
 
@@ -249,7 +249,7 @@ class _CIFARBase(QuantDataLoader):
         x = (x.astype(np.float32) / 255.0 - self.mean) / self.std
         return x, np.concatenate(ys)
 
-    def get_train_loader(self):
+    def get_train_loader(self) -> BatchIterable:
         x, y = self._load(self.train_files)
         # Reference aug order is pad-raw-then-normalize: the 4px border of
         # shifted crops is a raw black pixel, i.e. (0 - mean)/std after
@@ -259,7 +259,7 @@ class _CIFARBase(QuantDataLoader):
                              seed=self.seed, augment='crop_flip',
                              drop_last=self.drop_last, pad_value=pad_value)
 
-    def get_test_loader(self):
+    def get_test_loader(self) -> BatchIterable:
         x, y = self._subset(*self._load(self.test_files))
         return BatchIterable(x, y, self.test_batch_size, shuffle=False)
 
@@ -395,10 +395,10 @@ class ImageNetDataLoader(QuantDataLoader):
 
         return PrefetchIterable(_Lazy(), depth=2)
 
-    def get_train_loader(self):
+    def get_train_loader(self) -> object:
         return self._loader('train', self.train_batch_size, train=True)
 
-    def get_test_loader(self):
+    def get_test_loader(self) -> object:
         return self._loader('val', self.test_batch_size, train=False)
 
 
@@ -419,12 +419,12 @@ class SyntheticDataLoader(QuantDataLoader):
             (test_size,) + self.image_shape).astype(np.float32),
             rng.integers(0, num_classes, test_size))
 
-    def get_train_loader(self):
+    def get_train_loader(self) -> BatchIterable:
         return BatchIterable(*self._train, self.train_batch_size,
                              shuffle=True, seed=self.seed,
                              drop_last=self.drop_last)
 
-    def get_test_loader(self):
+    def get_test_loader(self) -> BatchIterable:
         x, y = self._subset(*self._test)
         return BatchIterable(x, y, self.test_batch_size, shuffle=False)
 

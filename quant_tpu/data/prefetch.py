@@ -24,7 +24,7 @@ class PrefetchIterable:
         self.depth = depth
 
     @property
-    def num_examples(self):
+    def num_examples(self) -> object:
         return getattr(self.inner, 'num_examples', None)
 
     def __len__(self) -> int:

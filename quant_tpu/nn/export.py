@@ -18,8 +18,8 @@ from typing import Any
 import jax
 
 
-def export_packed_variables(model, variables: dict[str, Any],
-                            sample_input) -> dict[str, Any]:
+def export_packed_variables(model: Any, variables: dict[str, Any],
+                            sample_input: Any) -> dict[str, Any]:
     """Compute the 'packed_params' collection for a trained model.
 
     Args:

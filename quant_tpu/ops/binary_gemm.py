@@ -125,7 +125,8 @@ def xnor_gemm_reference(a_signs: jax.Array, b_signs: jax.Array,
     return dot * vx.reshape(-1, 1) * vw.reshape(1, -1)
 
 
-def pack_for_xnor(a_signs: jax.Array, b_signs: jax.Array):
+def pack_for_xnor(a_signs: jax.Array,
+                  b_signs: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Pack dense {-1,+1} operands A (M,K), B (K,N) for xnor_gemm."""
     a_packed = pack_signs(a_signs)                   # (M, W)
     bt_packed = pack_signs(b_signs.T)                # (N, W)

@@ -12,7 +12,7 @@ dimension). Per-out-channel weight scales index the trailing O axis of
 HWIO; per-sample activation scales index the leading N axis of NHWC.
 """
 
-from typing import Sequence, Union
+from typing import Any, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ def conv2d(x: jax.Array, w: jax.Array, *,
            stride: IntOr2 = 1, padding: IntOr2 = 0,
            dilation: IntOr2 = 1, groups: int = 1,
            bias: jax.Array | None = None,
-           preferred_element_type=jnp.float32) -> jax.Array:
+           preferred_element_type: Any = jnp.float32) -> jax.Array:
     """2D convolution, NHWC x HWIO -> NHWC, torch-style integer padding.
 
     Args:

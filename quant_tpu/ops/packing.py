@@ -44,7 +44,7 @@ def pack_signs(x: jax.Array) -> jax.Array:
 
 
 def unpack_signs(words: jax.Array, k: int,
-                 dtype=jnp.float32) -> jax.Array:
+                 dtype: object = jnp.float32) -> jax.Array:
     """Unpack int32 words back to {-1,+1} values: (..., W) -> (..., K)."""
     w = words.astype(jnp.uint32)
     shifts = jnp.arange(WORD, dtype=jnp.uint32)

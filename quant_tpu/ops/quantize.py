@@ -20,7 +20,7 @@ b_i in {-1,+1} — the algebraic fact the packed binary-GEMM kernels exploit
 """
 
 from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -135,7 +135,8 @@ def quantizer_gf(x: jax.Array, k: int,
     return jnp.stack(saved), result
 
 
-def get_clamp_fn(kind: str = 'identity', alpha: float = 2.0):
+def get_clamp_fn(kind: str = 'identity',
+                 alpha: float = 2.0) -> 'Callable':
     """Resolve a clamp config (reference binary_conv.py:147-159)."""
     if kind == 'identity':
         return clamp_identity

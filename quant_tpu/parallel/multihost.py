@@ -102,9 +102,10 @@ class _ShardedBatches:
             yield data[self._pi::self._pc], target[self._pi::self._pc]
 
 
-def shard_loader_for_host(loader,
+def shard_loader_for_host(loader: object,
                           process_index: Optional[int] = None,
-                          process_count: Optional[int] = None):
+                          process_count: Optional[int] = None
+                          ) -> object:
     """Give this host its disjoint 1/process_count of a batched loader.
 
     The config batch size is GLOBAL (reference semantics: one logical

@@ -41,6 +41,21 @@ def _quant_state_spec(path: tuple, leaf: jax.Array) -> P:
     return P()  # activation EMA etc. replicated
 
 
+def _packed_spec(path: tuple, leaf: jax.Array) -> P:
+    """Packed deployment weights shard over their trailing O axis.
+
+    w_packed is (kh, kw, Wd, O) or (k_w, kh, kw, Wd, O) — the packed
+    int32 sign words themselves are tensor-sharded over ICI (north star),
+    not just the fp kernels they were derived from. w_scales is
+    (k_w, O)."""
+    names = [getattr(p, 'key', getattr(p, 'name', str(p))) for p in path]
+    if names and names[-1] == 'w_packed' and leaf.ndim >= 4:
+        return P(*([None] * (leaf.ndim - 1) + ['model']))
+    if names and names[-1] == 'w_scales' and leaf.ndim == 2:
+        return P(None, 'model')
+    return P()
+
+
 def shard_model_variables(variables: dict[str, Any], mesh: Mesh,
                           tensor_parallel: bool = False) -> dict[str, Any]:
     """Compute NamedShardings for a model-variable pytree.
@@ -61,6 +76,8 @@ def shard_model_variables(variables: dict[str, Any], mesh: Mesh,
             out[col] = spec_tree(tree, _kernel_spec)
         elif col == 'quant_state':
             out[col] = spec_tree(tree, _quant_state_spec)
+        elif col == 'packed_params':
+            out[col] = spec_tree(tree, _packed_spec)
         else:
             out[col] = spec_tree(tree, lambda p, l: P())
     return out

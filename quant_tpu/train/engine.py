@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from quant_tpu.train.metrics import (
-    MetricAccumulator, init_metric_state, update_metric_state,
+    MetricAccumulator, update_metric_state,
 )
 from quant_tpu.train.state import TrainState
 

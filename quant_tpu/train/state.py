@@ -36,7 +36,7 @@ class TrainState:
         return v
 
     @classmethod
-    def create(cls, apply_fn, variables: dict,
+    def create(cls, apply_fn: Callable, variables: dict,
                tx: optax.GradientTransformation) -> 'TrainState':
         import jax.numpy as jnp
         params = variables.get('params', {})

@@ -32,7 +32,7 @@ from quant_tpu.utils.logging_utils import init_logging
 logger = logging.getLogger(__name__)
 
 
-def build_model(architecture: str, arch_config: dict):
+def build_model(architecture: str, arch_config: dict) -> object:
     """Instantiate a model from the registry (reference
     initialization.py:97-131, minus the DataParallel wrap)."""
     try:
@@ -42,7 +42,8 @@ def build_model(architecture: str, arch_config: dict):
     return model_cls(**arch_config)
 
 
-def init_model_variables(model, sample_input, seed: Optional[int]) -> dict:
+def init_model_variables(model: object, sample_input: object,
+                         seed: Optional[int]) -> dict:
     key = jax.random.key(0 if seed is None else seed)
     return model.init(key, jnp.asarray(sample_input), True)
 
@@ -89,7 +90,7 @@ def _restore_into(variables: dict, ckpt_payload: dict,
     return out
 
 
-def get_teacher_apply(kd_config: dict, sample_input,
+def get_teacher_apply(kd_config: dict, sample_input: object,
                       seed: Optional[int]) -> tuple[Callable, Callable]:
     """Load a frozen teacher and build the KD loss (reference
     tasks.py:33-82).

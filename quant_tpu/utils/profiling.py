@@ -19,7 +19,7 @@ logger = logging.getLogger(__name__)
 
 
 @contextlib.contextmanager
-def trace(log_dir: str):
+def trace(log_dir: str) -> object:
     import jax
     try:
         jax.profiler.start_trace(str(log_dir))

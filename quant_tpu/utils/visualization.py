@@ -26,7 +26,7 @@ class Visualizer:
 
     def hook(self, epoch: int, global_step: int,
              values_dict: Optional[dict] = None,
-             log_interval: Optional[int] = None, **_):
+             log_interval: Optional[int] = None, **_: object) -> None:
         if self.writer is None:
             return
         if self.every_n_steps and log_interval \
@@ -41,14 +41,15 @@ class Visualizer:
             if v is not None:
                 self.writer.add_scalar(k, v, step)
 
-    def close(self):
+    def close(self) -> None:
         if self.writer is not None:
             self.writer.close()
 
 
 def get_tensorboard_hooks(config: dict, experiment_root: Path,
                           train_metrics: Optional[dict] = None,
-                          test_metrics: Optional[dict] = None):
+                          test_metrics: Optional[dict] = None,
+                          ) -> tuple[list, list]:
     """Build (train_hooks, test_hooks) from config (reference
     visualization.py:89-116). Returns empty hooks when tensorboard is
     disabled in the config."""

@@ -7,7 +7,6 @@ cost ordering between schemes, monotonicity in bits, and degenerate inputs.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from quant_tpu.ops import (
     binarize, binary_sign, clamp_identity, clamp_symmetric,

@@ -1,0 +1,65 @@
+"""Packed tensor-parallel inference: the bit-packed sign words and scale
+stacks shard over 'model' and the sharded forward matches the unsharded
+packed forward (north star: "packed binary weights and activations
+tensor-sharded over ICI")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from quant_tpu.nn import QLeNet5
+from quant_tpu.nn.export import export_packed_variables
+from quant_tpu.parallel import make_mesh, shard_model_variables
+from quant_tpu.parallel.sharding import batch_sharding
+
+
+def _trained_packed(rng):
+    x = jnp.asarray(rng.standard_normal((8, 28, 28, 1)), jnp.float32)
+    model = QLeNet5(conv1_filters=4, conv2_filters=16,
+                    x_quant='ls-1', w_quant='ls-2',
+                    clamp={'kind': 'symmetric', 'alpha': 2.0})
+    variables = model.init(jax.random.key(0), x, True)
+    _, mut = model.apply(variables, x, True,
+                         mutable=['quant_state', 'batch_stats'])
+    variables = {**variables, **mut}
+    packed_vars = export_packed_variables(model, variables, x[:2])
+    return model.clone(inference_mode='packed'), packed_vars, x
+
+
+def test_packed_params_get_model_sharding(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    _, packed_vars, _ = _trained_packed(rng)
+    mesh = make_mesh(model=2)
+    sh = shard_model_variables(packed_vars, mesh, tensor_parallel=True)
+    leaves = jax.tree_util.tree_leaves_with_path(sh['packed_params'])
+    specs = {jax.tree_util.keystr(p): s.spec for p, s in leaves}
+    w_packed_specs = [s for k, s in specs.items() if 'w_packed' in k]
+    w_scale_specs = [s for k, s in specs.items() if 'w_scales' in k]
+    assert w_packed_specs and all(s[-1] == 'model' for s in w_packed_specs)
+    assert w_scale_specs and all(s == P(None, 'model')
+                                 for s in w_scale_specs)
+
+
+def test_packed_tp_forward_matches_unsharded(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    packed_model, packed_vars, x = _trained_packed(rng)
+    ref = packed_model.apply(packed_vars, x, False)
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = shard_model_variables(packed_vars, mesh,
+                                      tensor_parallel=True)
+    sharded_vars = jax.tree.map(jax.device_put, packed_vars, shardings,
+                                is_leaf=lambda v: hasattr(v, 'shape'))
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    @jax.jit
+    def fwd(v, xb):
+        return packed_model.apply(v, xb, False)
+
+    out = fwd(sharded_vars, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -2,7 +2,6 @@
 loop tests + test_tasks.py incremental chains, scaled to tiny synthetic
 data)."""
 
-from pathlib import Path
 from unittest import mock
 
 import jax

@@ -16,7 +16,6 @@ from quant_tpu.data.loaders import BatchIterable
 from quant_tpu.nn import QLeNet5
 from quant_tpu.train import (
     TrainState, get_loss_fn, make_optimizer, make_train_step, train_epoch,
-    make_eval_step, evaluate,
 )
 
 

@@ -7,7 +7,6 @@ import copy
 
 import numpy as np
 import pytest
-import yaml
 
 from quant_tpu.experiment import Experiment
 from quant_tpu.train.task import classification_task
