@@ -37,6 +37,15 @@ except Exception:  # pragma: no cover - older jax
 ITERS = 24
 BATCH = 1024
 
+# Measured MXU peak on this chip (tools/probe_r2_results.jsonl:
+# 8192^3 bf16 matmul sustains 1129 TFLOP/s). MFU below is conv
+# FLOPs/image x img/s divided by this — how far the packed path sits
+# from the chip's speed of light.
+PEAK_BF16_TFLOPS = 1129.0
+# ResNet-18 @224: 2*MACs of all convs + fc (the standard 3.64 GFLOP
+# figure, NHWC shapes identical here).
+RESNET18_GFLOPS = 3.64
+
 
 def _resnet18(x_quant: str, w_quant: str, **kwargs):
     from quant_tpu.nn import QResNet
@@ -98,16 +107,37 @@ def main() -> None:
                           eval_dtype=jnp.bfloat16)
     ips_binary = _throughput(packed.apply, vb, x)
 
+    # Accuracy-flagship 2-bit config (ls-2 activations x ls-1 weights,
+    # the 74.4-top-1 ImageNet recipe) — same packed single-conv path.
+    ls2 = _resnet18('ls-2', 'ls-1', moving_average_mode='eval_only')
+    v2 = ls2.init(key, x[:2], True)
+    v2 = dict(v2)
+    v2['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
+                                     v2.get('quant_state', {}))
+    packed2 = ls2.clone(inference_mode='packed', eval_dtype=jnp.bfloat16)
+    ips_ls2 = _throughput(packed2.apply, v2, x)
+
     fp = _resnet18('fp', 'fp')
     vf = fp.init(key, x[:2], True)
     with jax.default_matmul_precision('highest'):
         ips_fp = _throughput(fp.apply, vf, x)
+
+    def mfu(ips: float) -> float:
+        return ips * RESNET18_GFLOPS / (PEAK_BF16_TFLOPS * 1e3)
 
     print(json.dumps({
         'metric': 'resnet18_binary_infer_images_per_sec',
         'value': round(ips_binary, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips_binary / ips_fp, 3),
+        'extras': {
+            'ls2_ls1_images_per_sec': round(ips_ls2, 2),
+            'ls2_ls1_vs_baseline': round(ips_ls2 / ips_fp, 3),
+            'fp32_images_per_sec': round(ips_fp, 2),
+            'mfu_binary': round(mfu(ips_binary), 4),
+            'mfu_ls2': round(mfu(ips_ls2), 4),
+            'peak_bf16_tflops': PEAK_BF16_TFLOPS,
+        },
     }))
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from quant_tpu.ops import quantize as Q
-from quant_tpu.ops.conv import conv2d
+from quant_tpu.ops.conv import _pair, conv2d, stem_conv_s2d
 
 IntOr2 = Union[int, Sequence[int]]
 
@@ -225,6 +225,7 @@ class Conv(nn.Module):
     use_bias: bool = True
     groups: int = 1
     dtype: Optional[Any] = None
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -243,6 +244,14 @@ class Conv(nn.Module):
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
             bias = bias.astype(self.dtype) if bias is not None else None
+        if (self.s2d and (kh, kw) == (7, 7) and _pair(self.stride) == (2, 2)
+                and _pair(self.padding) == (3, 3) and self.groups == 1
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            # Exact space-to-depth reformulation — same params, ~7x
+            # faster on small-C_in stems (ops/conv.py:stem_conv_s2d).
+            return stem_conv_s2d(x, kernel, bias=bias,
+                                 preferred_element_type=self.dtype
+                                 or jnp.float32)
         return conv2d(x, kernel, stride=self.stride, padding=self.padding,
                       groups=self.groups, bias=bias,
                       preferred_element_type=self.dtype or jnp.float32)

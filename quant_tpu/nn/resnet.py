@@ -173,6 +173,7 @@ class QResNet(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -186,7 +187,8 @@ class QResNet(nn.Module):
         width = self.layer0['n_in_channels']
         x = Conv(width, self.layer0['kernel_size'],
                  stride=self.layer0['stride'], padding=self.layer0['padding'],
-                 use_bias=self.layer0['bias'], dtype=dt, name='conv1')(x)
+                 use_bias=self.layer0['bias'], dtype=dt,
+                 s2d=self.stem_s2d, name='conv1')(x)
         x = nn.relu(BatchNorm(dtype=dt, name='bn1')(x, train))
         mp = self.layer0['maxpool']
         if mp['type'] == 'maxpool2d':

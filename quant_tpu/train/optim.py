@@ -11,13 +11,18 @@ Reference parity (quant/common/initialization.py:134-216):
     (step_lr step_size, multi_step_lr milestones) exactly as the reference
     does, and linear_lr reproduces quant/utils/linear_lr_scheduler.py:42-54.
   * lambda_lr evaluates a Python expression from the config into a
-    step->multiplier function (the reference quirk, initialization.py:209).
+    step->multiplier function (the reference quirk, initialization.py:209)
+    — gated here behind lr_scheduler.allow_eval: true since it executes
+    config-supplied code.
 """
 
 import copy
+import logging
 from typing import Callable
 
 import optax
+
+logger = logging.getLogger(__name__)
 
 
 def make_lr_schedule(config: dict, epochs: int,
@@ -57,6 +62,16 @@ def make_lr_schedule(config: dict, epochs: int,
         return schedule
 
     if kind == 'lambda_lr':
+        # The reference evals lr_lambda strings from the YAML config
+        # (initialization.py:209) — i.e. configs can execute arbitrary
+        # code. Kept for config compatibility, but gated: set
+        # allow_eval: true in the lr_scheduler section to opt in.
+        if not config.get('allow_eval', False):
+            raise ValueError(
+                "lambda_lr evaluates the 'lr_lambda' string as Python "
+                'code; set lr_scheduler.allow_eval: true to accept that '
+                'for configs you trust.')
+        logger.warning('lambda_lr: eval()ing lr_lambda from the config.')
         fn = eval(config['lr_lambda'])  # noqa: S307 (reference behavior)
         return lambda step: lr0 * fn(step)
 

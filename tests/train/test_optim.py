@@ -39,10 +39,17 @@ def test_multi_step_lr_milestones_in_epochs():
 
 def test_lambda_lr_eval_string():
     sched = make_lr_schedule({'scheduler': 'lambda_lr', 'lr': 2.0,
-                              'lr_lambda': 'lambda step: 1 / (1 + step)'},
+                              'lr_lambda': 'lambda step: 1 / (1 + step)',
+                              'allow_eval': True},
                              1, 1)
     assert float(sched(0)) == 2.0
     assert float(sched(1)) == 1.0
+
+
+def test_lambda_lr_requires_opt_in():
+    with pytest.raises(ValueError, match='allow_eval'):
+        make_lr_schedule({'scheduler': 'lambda_lr', 'lr': 2.0,
+                          'lr_lambda': 'lambda step: 1.0'}, 1, 1)
 
 
 def test_unknown_scheduler_raises():
