@@ -37,11 +37,12 @@ except Exception:  # pragma: no cover - older jax
 ITERS = 24
 BATCH = 1024
 
-# Measured MXU peak on this chip (tools/probe_r2_results.jsonl:
-# 8192^3 bf16 matmul sustains 1129 TFLOP/s). MFU below is conv
-# FLOPs/image x img/s divided by this — how far the packed path sits
-# from the chip's speed of light.
-PEAK_BF16_TFLOPS = 1129.0
+# Measured MXU peak on this chip (tools/probe_r3_results.jsonl:
+# chained 8192^3 bf16 matmul sustains 161 TFLOP/s — the DCE-proof
+# number; probe_r2's 1129 was a slice-folding artifact). MFU below is
+# conv FLOPs/image x img/s divided by this — how far the packed path
+# sits from the chip's measured speed of light.
+PEAK_BF16_TFLOPS = 161.2
 # ResNet-18 @224: 2*MACs of all convs + fc (the standard 3.64 GFLOP
 # figure, NHWC shapes identical here).
 RESNET18_GFLOPS = 3.64

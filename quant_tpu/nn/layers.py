@@ -338,6 +338,11 @@ class QuantConv2d(nn.Module):
     # run at 1-bit speed; single-plane sides stay bit-exact, k>=2 sides
     # incur only bf16 input rounding. False = bit-exact multi-pass.
     pass_fusion: bool = True
+    # Sign-plane conv operand dtype for the packed path: 'bf16' (f32
+    # accumulation, allows baking multi-scale sides into one conv) or
+    # 'int8' (s32 accumulation, 2x MXU rate where the toolchain lowers
+    # s8 convs, always bit-exact, loops distinct-scale plane pairs).
+    sign_compute: str = 'bf16'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -412,7 +417,9 @@ class QuantConv2d(nn.Module):
                 w_packed=w_packed, w_vs=w_scales, in_channels=cin,
                 bias=bias, stride=self.stride, padding=self.padding,
                 w_planes_share_scale=(self.w_quant == 'ls-T'),
-                out_dtype=out_dtype, fused=self.pass_fusion)
+                out_dtype=out_dtype, fused=self.pass_fusion,
+                compute_dtype=(jnp.int8 if self.sign_compute == 'int8'
+                               else None))
 
         return conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
                       groups=self.groups, bias=bias)

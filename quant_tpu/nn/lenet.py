@@ -35,6 +35,7 @@ class QLeNet5(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
+    sign_compute: str = 'bf16'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -60,6 +61,7 @@ class QLeNet5(nn.Module):
             inference_mode=self.inference_mode,
             eval_dtype=dt,
             pass_fusion=self.pass_fusion,
+            sign_compute=self.sign_compute,
             name='conv2',
         )(x, train)
         x = nn.relu(x)

@@ -68,6 +68,7 @@ class RegularBasicBlock(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
+    sign_compute: str = 'bf16'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -81,6 +82,7 @@ class RegularBasicBlock(nn.Module):
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode, eval_dtype=dt,
             pass_fusion=self.pass_fusion,
+            sign_compute=self.sign_compute,
             use_bias=False, padding=1,
         )
         out = QuantConv2d(self.planes, 3, stride=self.stride,
@@ -112,6 +114,7 @@ class XnorBasicBlock(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
+    sign_compute: str = 'bf16'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -125,6 +128,7 @@ class XnorBasicBlock(nn.Module):
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode, eval_dtype=dt,
             pass_fusion=self.pass_fusion,
+            sign_compute=self.sign_compute,
             use_bias=True, padding=1,
         )
         shortcut = _Shortcut(self.planes, self.stride, use_bias=True,
@@ -173,6 +177,7 @@ class QResNet(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
+    sign_compute: str = 'bf16'
     stem_s2d: bool = False
 
     @nn.compact
@@ -216,6 +221,7 @@ class QResNet(nn.Module):
                 inference_mode=self.inference_mode,
                 eval_dtype=self.eval_dtype,
                 pass_fusion=self.pass_fusion,
+                sign_compute=self.sign_compute,
                 **cfg,  # e.g. double_shortcut for xnor blocks
             )
             for b in range(self.num_blocks[s]):

@@ -95,45 +95,51 @@ def unpack_weights_int8(packed: jax.Array, in_channels: int,
 
 def binary_conv_int8(x_signs: jax.Array, w_signs: jax.Array, *,
                      stride: Any = 1, padding: Any = 0) -> jax.Array:
-    """Sign-plane conv on the MXU with exact f32 accumulation."""
+    """Sign-plane conv on the MXU with exact accumulation.
+
+    bf16 operands accumulate in f32 (exact for +-1/+-2 up to 2^24 MACs);
+    int8 operands accumulate in s32 (exact, and 2x the MXU rate where
+    the toolchain lowers s8 convs — this round's does, see
+    tools/probe_r2_results.jsonl conv_s8_small)."""
+    acc = jnp.int32 if x_signs.dtype == jnp.int8 else jnp.float32
     return conv2d(x_signs, w_signs, stride=stride, padding=padding,
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=acc)
 
 
-def activation_sign_planes(x: jax.Array, scheme: str,
-                           vs: jax.Array) -> tuple[list, list]:
-    """Decompose an activation tensor into (sign planes int8, scale list).
+def activation_sign_planes(x: jax.Array, scheme: str, vs: jax.Array,
+                           dtype: Any = None) -> tuple[list, list]:
+    """Decompose an activation tensor into (sign planes, scale list).
 
     vs: (k, N) per-sample scales (from the quantizer EMA / batch solve).
-    Returns ([plane_i int8 NHWC], [v_i (N,)]) such that
+    Returns ([plane_i NHWC in `dtype`], [v_i (N,)]) such that
     x_q = sum_i v_i * plane_i.
     """
+    dtype = dtype or SIGN_COMPUTE_DTYPE
     n = x.shape[0]
 
     def per_sample(v):
         return v.reshape((n,) + (1,) * (x.ndim - 1))
 
     if scheme == 'ls-1':
-        return [binary_sign(x).astype(SIGN_COMPUTE_DTYPE)], [vs[0]]
+        return [binary_sign(x).astype(dtype)], [vs[0]]
     if scheme == 'ls-2':
         b1 = binary_sign(x)
         b2 = binary_sign(x - per_sample(vs[0]) * b1)
-        return ([b1.astype(SIGN_COMPUTE_DTYPE),
-                 b2.astype(SIGN_COMPUTE_DTYPE)], [vs[0], vs[1]])
+        return ([b1.astype(dtype), b2.astype(dtype)], [vs[0], vs[1]])
     if scheme == 'ls-T':
         # Both ternary passes share one scale, so the two sign planes fuse
-        # into ONE conv over (b1 + b2) in {-2, 0, +2} — exact in bf16 and
-        # half the conv work of the naive two-pass form.
+        # into ONE conv over (b1 + b2) in {-2, 0, +2} — exact in bf16/s8
+        # and half the conv work of the naive two-pass form.
         b1 = binary_sign(x)
         b2 = binary_sign(x - per_sample(vs[0]) * b1)
-        return [(b1 + b2).astype(SIGN_COMPUTE_DTYPE)], [vs[0]]
+        return [(b1 + b2).astype(dtype)], [vs[0]]
     if scheme.startswith('gf-'):
         k = int(scheme.split('-')[1])
         planes, scales = [], []
         result = jnp.zeros_like(x)
         for i in range(k):
             b = binary_sign(x - result)
-            planes.append(b.astype(SIGN_COMPUTE_DTYPE))
+            planes.append(b.astype(dtype))
             scales.append(vs[i])
             result = result + per_sample(vs[i]) * b
         return planes, scales
@@ -149,7 +155,8 @@ def quant_conv2d_infer(x: jax.Array, *,
                        clamp_fn: Optional[Any] = None,
                        w_planes_share_scale: bool = False,
                        out_dtype: Any = jnp.float32,
-                       fused: bool = True) -> jax.Array:
+                       fused: bool = True,
+                       compute_dtype: Any = None) -> jax.Array:
     """Full packed-weight quantized conv.
 
     fused=True (default, the production path): ALL k_a x k_w sign-plane
@@ -173,26 +180,39 @@ def quant_conv2d_infer(x: jax.Array, *,
             k_w > 1: shape (k_w, kh, kw, Wd, O)).
         w_vs: (k_w, O) per-out-channel weight scales.
         in_channels: unpacked I.
+        compute_dtype: operand dtype for the sign-plane convs. int8 runs
+            s8 x s8 -> s32 (exact; 2x MXU rate where lowered) but cannot
+            bake multi-scale sides, so distinct-scale plane pairs run as
+            separate passes; bf16 (default) allows the single-conv bake.
     """
+    cdt = compute_dtype or SIGN_COMPUTE_DTYPE
     if clamp_fn is not None:
         x = clamp_fn(x)
     if w_packed.ndim == 4:
         w_packed = w_packed[None]
     k_w = w_packed.shape[0]
 
-    x_planes, x_scales = activation_sign_planes(x, x_scheme, x_vs)
+    x_planes, x_scales = activation_sign_planes(x, x_scheme, x_vs,
+                                                dtype=cdt)
     n = x.shape[0]
 
     if w_planes_share_scale and k_w == 2:
         # ls-T weights: fuse the two equal-scale planes into one conv
         # operand in {-2, 0, +2} (same trick as ls-T activations).
-        merged = (unpack_weights_int8(w_packed[0], in_channels)
-                  + unpack_weights_int8(w_packed[1], in_channels))
+        merged = (unpack_weights_int8(w_packed[0], in_channels, dtype=cdt)
+                  + unpack_weights_int8(w_packed[1], in_channels,
+                                        dtype=cdt))
         w_sign_sets = [(merged, w_vs[0])]
     else:
-        w_sign_sets = [(unpack_weights_int8(w_packed[j], in_channels),
-                        w_vs[j]) for j in range(k_w)]
+        w_sign_sets = [(unpack_weights_int8(w_packed[j], in_channels,
+                                            dtype=cdt), w_vs[j])
+                       for j in range(k_w)]
 
+    if cdt == jnp.int8:
+        # Integer path: every pass is exact; distinct scales can't be
+        # baked into int operands, so loop the plane pairs (each pass at
+        # the 2x s8 MXU rate) with the f32 scale epilogue per pass.
+        fused = False
     if fused:
         if len(x_planes) == 1:
             x_op, vx_epi = x_planes[0], x_scales[0]

@@ -105,3 +105,44 @@ def test_lenet_packed_ema_multi_bit_parity(rng, x_quant):
         variables, x, False)
     np.testing.assert_allclose(np.asarray(out_packed),
                                np.asarray(out_dense), rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize('x_quant,w_quant', [
+    ('ls-1', 'ls-1'), ('ls-2', 'ls-1'), ('ls-T', 'ls-1'),
+    ('gf-2', 'ls-1'), ('ls-1', 'ls-2'), ('ls-1', 'ls-T'),
+])
+def test_lenet_packed_int8_compute_bit_exact(rng, x_quant, w_quant):
+    """sign_compute='int8' is integer-exact: it must match the UNFUSED
+    bf16 multi-pass path bit-for-bit at f32 epilogue tolerance."""
+    x = jnp.asarray(rng.standard_normal((4, 28, 28, 1)), jnp.float32)
+    dense = QLeNet5(conv1_filters=4, conv2_filters=6,
+                    x_quant=x_quant, w_quant=w_quant,
+                    clamp={'kind': 'symmetric', 'alpha': 2.0})
+    variables = _trained_vars(dense, x)
+    ref = dense.clone(inference_mode='packed', pass_fusion=False).apply(
+        variables, x, False)
+    got = dense.clone(inference_mode='packed',
+                      sign_compute='int8').apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_resnet_packed_int8_compute(rng):
+    layer = {'x_quant': 'ls-1', 'w_quant': 'ls-1',
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0},
+             'double_shortcut': True}
+    model = QResNet(
+        block='xnor',
+        layer0={'n_in_channels': 8, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=None, nonlins=['relu', 'relu'], num_blocks=[1, 1, 1],
+        output_classes=10)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    variables = _trained_vars(model, x)
+    ref = model.clone(inference_mode='packed').apply(variables, x, False)
+    got = model.clone(inference_mode='packed',
+                      sign_compute='int8').apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

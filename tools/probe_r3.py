@@ -136,6 +136,44 @@ def conv_chain_bf16():
                    ms=round(sec * 1e3, 3), tflops=round(tf, 1))
 
 
+def _conv_chain_int8(B, H, C, k=3, inner=10):
+    """Chained 3x3 s1 conv in s8 x s8 -> s32 (compiles on this round's
+    toolchain — probe_r2 conv_s8_small — unlike round 1's)."""
+    key = jax.random.key(0)
+    x = (jax.random.randint(key, (B, H, H, C), 0, 2, jnp.int8) * 2
+         - 1).astype(jnp.int8)
+    w = (jax.random.randint(key, (k, k, C, C), 0, 2, jnp.int8) * 2
+         - 1).astype(jnp.int8)
+    pad = (k - 1) // 2
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ('NHWC', 'HWIO', 'NHWC'))
+
+    @jax.jit
+    def step(x):
+        def body(_, x):
+            y = lax.conv_general_dilated(
+                x, w, (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=dn, preferred_element_type=jnp.int32)
+            return jnp.where(y >= 0, 1, -1).astype(jnp.int8)
+        return lax.fori_loop(0, inner, body, x)
+
+    sec = timed_loop(step, x,
+                     lambda c: jnp.sum(c[0, 0, 0, :8].astype(jnp.int32)),
+                     inner)
+    flops = 2 * B * H * H * C * C * k * k
+    return sec, flops / sec / 1e12
+
+
+@probe
+def conv_chain_int8():
+    for B in (256, 1024):
+        for name, H, C in (('l1', 56, 64), ('l2b', 28, 128),
+                           ('l3b', 14, 256), ('l4b', 7, 512)):
+            sec, tf = _conv_chain_int8(B, H, C)
+            record('conv_chain_int8', layer=name, batch=B,
+                   ms=round(sec * 1e3, 3), tops=round(tf, 1))
+
+
 @probe
 def conv_chain_wide_channels():
     """Is the conv rate limited by C? Try C=1024/2048 at tiny H."""
@@ -205,6 +243,7 @@ def elementwise_chain_v2():
 @probe
 def stem_vs_s2d_v2():
     """Regular vs space-to-depth stem with a sum-carry (both forced)."""
+    sys.path.insert(0, '/root/repo')
     from quant_tpu.ops.conv import conv2d, stem_conv_s2d
     B = 256
     key = jax.random.key(0)
