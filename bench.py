@@ -104,8 +104,12 @@ def main() -> None:
     vb = dict(vb)
     vb['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
                                      vb.get('quant_state', {}))
+    # sign_compute='int8': single-plane schemes run s8xs8->s32 sign
+    # convs (bit-exact, measured 1.13x end-to-end over bf16 — A/B matrix
+    # tools/bench_ab_results.jsonl). The s2d stem measured FASTER in
+    # isolation but slower in-model, so it stays off here.
     packed = binary.clone(inference_mode='packed',
-                          eval_dtype=jnp.bfloat16)
+                          eval_dtype=jnp.bfloat16, sign_compute='int8')
     ips_binary = _throughput(packed.apply, vb, x)
 
     # Accuracy-flagship 2-bit config (ls-2 activations x ls-1 weights,

@@ -301,6 +301,74 @@ def batch_sweep_model():
                ips=round(batch * iters / dt, 1))
 
 
+def _pallas_mm(dtype, acc_dtype, n=4096, tm=256, tn=256, tk=512,
+               inner=8):
+    """Properly tiled Pallas matmul: grid (M/tm, N/tn, K/tk), k
+    innermost, VMEM accumulator, output written on the last k step."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(2) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jnp.dot(a_ref[...], b_ref[...],
+                                preferred_element_type=acc_dtype)
+
+        @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+        def _flush():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    key = jax.random.key(0)
+    if dtype == jnp.int8:
+        a = (jax.random.randint(key, (n, n), 0, 2, jnp.int8) * 2
+             - 1).astype(jnp.int8)
+        b = a.T
+    else:
+        a = (jax.random.normal(key, (n, n), jnp.float32) / n).astype(dtype)
+        b = (jax.random.normal(jax.random.key(1), (n, n), jnp.float32)
+             / n).astype(dtype)
+
+    mm = pl.pallas_call(
+        kernel,
+        grid=(n // tm, n // tn, n // tk),
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tk, tn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
+        scratch_shapes=[pltpu.VMEM((tm, tn), acc_dtype)],
+    )
+
+    @jax.jit
+    def step(a):
+        def body(_, a):
+            return mm(a, b)
+        return lax.fori_loop(0, inner, body, a)
+
+    sec = timed_loop(step, a,
+                     lambda c: jnp.sum(c[0, :8].astype(jnp.float32)),
+                     inner)
+    return 2 * n ** 3 / sec / 1e12
+
+
+@probe
+def pallas_matmul_bf16_v2():
+    t = _pallas_mm(jnp.bfloat16, jnp.float32)
+    record('pallas_matmul_bf16_v2', tflops=round(t, 1))
+
+
+@probe
+def pallas_matmul_int8():
+    t = _pallas_mm(jnp.int8, jnp.int32)
+    record('pallas_matmul_int8', tops=round(t, 1))
+
+
 def main():
     if len(sys.argv) < 2 or sys.argv[1] == '--list':
         print('\n'.join(PROBES))
