@@ -64,8 +64,10 @@ def main() -> None:
     variables = export_packed_variables(model, variables,
                                         jnp.zeros((1,) + shape))
 
+    # sign_compute='int8': bit-exact s8 sign-plane convs, the fastest
+    # measured single-plane serving config (docs/DESIGN.md round-2).
     packed = model.clone(inference_mode='packed',
-                         eval_dtype=jnp.bfloat16)
+                         eval_dtype=jnp.bfloat16, sign_compute='int8')
     engine = InferenceEngine(packed.apply, variables, shape,
                              max_batch=64).start()
     try:

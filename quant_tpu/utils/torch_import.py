@@ -22,7 +22,6 @@ quant/models/lenet.py:38-64). `state_dict_to_numpy` converts a torch
 checkpoint payload without importing torch here (tensors expose .numpy()).
 """
 
-import re
 from typing import Any, Mapping
 
 import numpy as np
