@@ -338,11 +338,14 @@ class QuantConv2d(nn.Module):
     # run at 1-bit speed; single-plane sides stay bit-exact, k>=2 sides
     # incur only bf16 input rounding. False = bit-exact multi-pass.
     pass_fusion: bool = True
-    # Sign-plane conv operand dtype for the packed path: 'bf16' (f32
-    # accumulation, allows baking multi-scale sides into one conv) or
-    # 'int8' (s32 accumulation, 2x MXU rate where the toolchain lowers
-    # s8 convs, always bit-exact, loops distinct-scale plane pairs).
-    sign_compute: str = 'bf16'
+    # Sign-plane conv operand dtype for the packed path: 'int8' (s32
+    # accumulation, ~1.5x MXU rate where the toolchain lowers s8 convs,
+    # always bit-exact, but loops distinct-scale plane pairs), 'bf16'
+    # (f32 accumulation, allows baking multi-scale sides into ONE conv),
+    # or 'auto' (default): int8 when both sides have a single effective
+    # plane (ls-1 / ls-T — one s8 pass strictly wins), bf16 otherwise
+    # (one baked bf16 pass beats k>=2 s8 passes; measured, DESIGN.md).
+    sign_compute: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -412,13 +415,27 @@ class QuantConv2d(nn.Module):
                     in_channels=cin, bias=bias, stride=self.stride,
                     padding=self.padding, out_dtype=out_dtype,
                     fused=self.pass_fusion)
+            sign_compute = self.sign_compute
+            if sign_compute == 'auto':
+                # int8 strictly wins only when each side is ONE conv
+                # pass either way: 1 effective activation plane (ls-1,
+                # ls-T) x 1 effective weight plane (ls-1, ls-T).
+                def n_planes(scheme):
+                    if scheme in ('ls-1', 'ls-T'):
+                        return 1
+                    if scheme.startswith('gf-'):
+                        return int(scheme.split('-')[1])
+                    return 2  # ls-2
+                one_pass = (n_planes(self.x_quant) == 1
+                            and n_planes(self.w_quant) == 1)
+                sign_compute = 'int8' if one_pass else 'bf16'
             return BI.quant_conv2d_infer(
                 x_clamped, x_scheme=self.x_quant, x_vs=x_vs,
                 w_packed=w_packed, w_vs=w_scales, in_channels=cin,
                 bias=bias, stride=self.stride, padding=self.padding,
                 w_planes_share_scale=(self.w_quant == 'ls-T'),
                 out_dtype=out_dtype, fused=self.pass_fusion,
-                compute_dtype=(jnp.int8 if self.sign_compute == 'int8'
+                compute_dtype=(jnp.int8 if sign_compute == 'int8'
                                else None))
 
         return conv2d(x_q, w_q, stride=self.stride, padding=self.padding,

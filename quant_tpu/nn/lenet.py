@@ -35,7 +35,7 @@ class QLeNet5(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
-    sign_compute: str = 'bf16'
+    sign_compute: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:

@@ -68,7 +68,7 @@ class RegularBasicBlock(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
-    sign_compute: str = 'bf16'
+    sign_compute: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -114,7 +114,7 @@ class XnorBasicBlock(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
-    sign_compute: str = 'bf16'
+    sign_compute: str = 'auto'
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -177,7 +177,7 @@ class QResNet(nn.Module):
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
     pass_fusion: bool = True
-    sign_compute: str = 'bf16'
+    sign_compute: str = 'auto'
     stem_s2d: bool = False
 
     @nn.compact

@@ -146,3 +146,24 @@ def test_resnet_packed_int8_compute(rng):
                       sign_compute='int8').apply(variables, x, False)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize('x_quant,expected_like', [
+    ('ls-1', 'int8'), ('ls-T', 'int8'), ('ls-2', 'bf16'),
+    ('gf-2', 'bf16'),
+])
+def test_auto_sign_compute_picks_fastest_exact_path(rng, x_quant,
+                                                    expected_like):
+    """'auto' must equal int8 for single-plane schemes and the bf16 bake
+    otherwise (outputs of the two paths differ at bf16 rounding level,
+    so exact equality identifies which path ran)."""
+    x = jnp.asarray(rng.standard_normal((4, 28, 28, 1)), jnp.float32)
+    dense = QLeNet5(conv1_filters=4, conv2_filters=6,
+                    x_quant=x_quant, w_quant='ls-1',
+                    clamp={'kind': 'symmetric', 'alpha': 2.0})
+    variables = _trained_vars(dense, x)
+    auto = dense.clone(inference_mode='packed').apply(variables, x, False)
+    expected = dense.clone(inference_mode='packed',
+                           sign_compute=expected_like).apply(
+        variables, x, False)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(expected))
