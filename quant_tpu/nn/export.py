@@ -38,6 +38,45 @@ def export_packed_variables(model: Any, variables: dict[str, Any],
     return out
 
 
+def strip_for_deployment(variables: dict[str, Any]) -> dict[str, Any]:
+    """Drop what serving never reads: fp32 kernels and cached weight
+    scales of every layer that has packed_params.
+
+    The result is the minimal serving artifact (1 bit/weight for the
+    quantized convs; biases, fp stem/head/shortcut params, BN stats and
+    activation-EMA scales kept). QuantConv2d detects the absent kernel
+    and serves purely from packed_params — restoring this artifact into
+    a training run is NOT possible (the fp32 master weights are gone).
+    """
+    if 'packed_params' not in variables:
+        raise ValueError('strip_for_deployment needs packed_params — '
+                         'run export_packed_variables first.')
+    pp = variables['packed_params']
+
+    def strip(tree, packed_tree, drop_key):
+        if not isinstance(tree, dict):
+            return tree
+        out = {}
+        for k, v in tree.items():
+            sub_packed = (packed_tree.get(k, {})
+                          if isinstance(packed_tree, dict) else {})
+            if k == drop_key and isinstance(packed_tree, dict) \
+                    and 'w_packed' in packed_tree:
+                continue
+            if isinstance(v, dict):
+                out[k] = strip(v, sub_packed, drop_key)
+            else:
+                out[k] = v
+        return out
+
+    out = dict(variables)
+    out['params'] = strip(variables.get('params', {}), pp, 'kernel')
+    if 'quant_state' in variables:
+        out['quant_state'] = strip(variables['quant_state'], pp,
+                                   'w_quantizer')
+    return out
+
+
 def packed_weight_bytes(variables: dict[str, Any]) -> tuple[int, int]:
     """(packed_bytes, fp32_kernel_bytes) for the quantized conv weights."""
     packed = sum(leaf.size * leaf.dtype.itemsize

@@ -366,28 +366,37 @@ class QuantConv2d(nn.Module):
         kh, kw = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) \
             else tuple(self.kernel_size)
         cin = x.shape[-1]
-        kernel = self.param(
-            'kernel', torch_conv_kernel_init(),
-            (kh, kw, cin // self.groups, self.features))
 
-        # Quantize per out-channel: move O (trailing axis of HWIO) to the
-        # row axis for the quantizer, then restore.
-        w_oi = jnp.moveaxis(kernel, -1, 0)
-        w_oi_q, w_vs = WeightQuantizer(
-            scheme=self.w_quant, size=self.features,
-            solver_mode=self.solver_mode, name='w_quantizer',
-        )(w_oi, train, return_scales=True)
-        w_q = jnp.moveaxis(w_oi_q, 0, -1)
+        use_packed = (self.inference_mode == 'packed' and not train
+                      and not self.is_initializing()
+                      and self.w_quant != 'fp' and self.groups == 1)
+        # Stripped deployment checkpoint (nn/export.py
+        # strip_for_deployment): the fp32 kernel of a packed-served layer
+        # is ABSENT — only its packed sign words + scales shipped. Skip
+        # the kernel param and the weight quantizer entirely.
+        stripped = (use_packed
+                    and self.has_variable('packed_params', 'w_packed')
+                    and not self.has_variable('params', 'kernel'))
+        if stripped:
+            w_oi = w_vs = None
+        else:
+            kernel = self.param(
+                'kernel', torch_conv_kernel_init(),
+                (kh, kw, cin // self.groups, self.features))
+            # Quantize per out-channel: move O (trailing axis of HWIO) to
+            # the row axis for the quantizer, then restore.
+            w_oi = jnp.moveaxis(kernel, -1, 0)
+            w_oi_q, w_vs = WeightQuantizer(
+                scheme=self.w_quant, size=self.features,
+                solver_mode=self.solver_mode, name='w_quantizer',
+            )(w_oi, train, return_scales=True)
+            w_q = jnp.moveaxis(w_oi_q, 0, -1)
 
         bias = None
         if self.use_bias:
             fan_in = (cin // self.groups) * kh * kw
             bias = self.param('bias', torch_bias_init(fan_in),
                               (self.features,))
-
-        use_packed = (self.inference_mode == 'packed' and not train
-                      and not self.is_initializing()
-                      and self.w_quant != 'fp' and self.groups == 1)
         if use_packed:
             from quant_tpu.ops import binary_infer as BI
             out_dtype = self.eval_dtype or jnp.float32
