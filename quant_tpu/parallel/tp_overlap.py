@@ -103,3 +103,66 @@ def tp_binary_matmul_reference(x_signs: jax.Array, w_signs: jax.Array,
                                mesh: Optional[Mesh] = None) -> jax.Array:
     """Unsharded oracle."""
     return _local_binary_matmul(x_signs, w_signs)
+
+
+def tp_packed_matmul_overlapped(x_packed: jax.Array, w_packed: jax.Array,
+                                k_total: int, mesh: Mesh,
+                                axis: str = 'model',
+                                gather_output: bool = True) -> jax.Array:
+    """The north-star form: PACKED binary operands tensor-sharded over
+    ICI, ring reduce-scatter overlapped with the sign-GEMM compute.
+
+    Both operands live bit-packed in HBM (32 signs/int32 word, 32x less
+    memory + ICI-resident shard bytes than fp32); each device unpacks
+    ONLY its own K-shard to +-1 bf16 on the fly and runs the same
+    overlapped ring schedule as `tp_binary_matmul_overlapped` — the
+    accumulating f32 block ppermutes while the next block's MXU GEMM
+    runs.
+
+    Args:
+        x_packed: (M, W) int32 sign words of X (M, K), packed along K;
+            W sharded over `axis`.
+        w_packed: (W, N) int32 sign words of W (K, N), packed along K
+            (word axis leading, as produced by
+            ops.binary_gemm.pack_for_xnor); W sharded over `axis`.
+        k_total: unpacked K. Must divide by 32 * mesh.shape[axis] so
+            every shard unpacks without pad-bit correction.
+        mesh / axis / gather_output: as in tp_binary_matmul_overlapped.
+    """
+    from quant_tpu.ops.packing import WORD, unpack_signs
+
+    p = mesh.shape[axis]
+    n = w_packed.shape[1]
+    assert n % p == 0, (n, p)
+    assert k_total % (WORD * p) == 0, (k_total, WORD, p)
+    nb = n // p
+    k_loc = k_total // p
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=P(None, axis),
+    )
+    def kernel(xp_loc, wp_loc):
+        x_loc = unpack_signs(xp_loc, k_loc, dtype=jnp.bfloat16)
+        w_loc = unpack_signs(wp_loc.T, k_loc,
+                             dtype=jnp.bfloat16).T  # (k_loc, N)
+        me = jax.lax.axis_index(axis)
+
+        def step(i, acc):
+            blk = (me + i) % p
+            w_blk = jax.lax.dynamic_slice_in_dim(w_loc, blk * nb, nb,
+                                                 axis=1)
+            acc = acc + jnp.dot(x_loc, w_blk,
+                                preferred_element_type=jnp.float32)
+            return jax.lax.ppermute(
+                acc, axis, [(j, (j - 1) % p) for j in range(p)])
+
+        acc = jnp.zeros((x_loc.shape[0], nb), jnp.float32)
+        acc = jax.lax.pvary(acc, axis)
+        return jax.lax.fori_loop(0, p, step, acc)
+
+    out = kernel(x_packed, w_packed)
+    if gather_output:
+        out = jax.device_put(out, NamedSharding(mesh, P()))
+    return out
