@@ -58,16 +58,17 @@ def main() -> None:
             lambda v: jnp.full_like(v, 0.5),
             variables.get('quant_state', {}))
 
-    # Pack all quantized weights once; the engine serves from the packed
-    # artifact (1 bit/weight) instead of re-packing per forward.
-    from quant_tpu.nn.export import export_packed_variables
-    variables = export_packed_variables(model, variables,
-                                        jnp.zeros((1,) + shape))
+    # Pack all quantized weights once and strip the fp32 masters: the
+    # engine serves from the minimal artifact (1 bit/weight).
+    from quant_tpu.nn.export import (export_packed_variables,
+                                     strip_for_deployment)
+    variables = strip_for_deployment(export_packed_variables(
+        model, variables, jnp.zeros((1,) + shape)))
 
-    # sign_compute='int8': bit-exact s8 sign-plane convs, the fastest
-    # measured single-plane serving config (docs/DESIGN.md round-2).
+    # sign_compute defaults to 'auto': bit-exact s8 sign-plane convs for
+    # single-plane schemes, fused bf16 bake otherwise (docs/DESIGN.md).
     packed = model.clone(inference_mode='packed',
-                         eval_dtype=jnp.bfloat16, sign_compute='int8')
+                         eval_dtype=jnp.bfloat16)
     engine = InferenceEngine(packed.apply, variables, shape,
                              max_batch=64).start()
     try:
