@@ -1,0 +1,94 @@
+"""Render the quant_tpu API docs with the stdlib (no sphinx needed).
+
+The reference ships a Sphinx tree (apple/ml-quant doc/: conf.py + rst
+files with automodule directives, built by `make html`). This
+environment has no sphinx, so this script provides the same rendered-
+docs capability: it reads the SAME doc/*.rst sources, extracts the
+`.. automodule::` directives and section headers, renders each module's
+docstrings with `pydoc.HTMLDoc`, and writes a linked HTML tree.
+
+Usage: python tools/gen_docs.py [--out doc/_build/html]
+"""
+
+import argparse
+import importlib
+import pydoc
+import re
+import sys
+from html import escape
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+_AUTOMODULE = re.compile(r'^\.\. automodule:: ([\w.]+)', re.M)
+_SECTION = re.compile(r'^(.+)\n[-~^]+\n', re.M)
+
+_STYLE = """
+body { font-family: sans-serif; margin: 2em auto; max-width: 60em; }
+h1 { border-bottom: 2px solid #444; }
+li { margin: 0.25em 0; }
+code { background: #f2f2f2; padding: 0 0.2em; }
+"""
+
+
+def parse_rst_tree(doc_dir: Path):
+    """(section_title, [module, ...]) pairs from doc/quant_tpu.rst."""
+    text = (doc_dir / 'quant_tpu.rst').read_text()
+    sections = []
+    # Split on section headers (underlined with -), keep order.
+    parts = re.split(r'\n(?=[^\s].*\n-+\n)', text)
+    for part in parts:
+        m = _SECTION.match(part)
+        mods = _AUTOMODULE.findall(part)
+        if mods:
+            title = m.group(1).strip() if m else 'API'
+            sections.append((title, mods))
+    return sections
+
+
+def render(out_dir: Path) -> int:
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sections = parse_rst_tree(REPO / 'doc')
+    html_doc = pydoc.HTMLDoc()
+    n = 0
+    index_items = []
+    for title, mods in sections:
+        links = []
+        for name in mods:
+            mod = importlib.import_module(name)
+            page = html_doc.page(pydoc.describe(mod), html_doc.docmodule(mod))
+            (out_dir / f'{name}.html').write_text(page)
+            links.append(f'<li><a href="{name}.html"><code>{name}</code>'
+                         f'</a> — {escape(_first_line(mod))}</li>')
+            n += 1
+        index_items.append(f'<h2>{escape(title)}</h2>\n<ul>\n'
+                           + '\n'.join(links) + '\n</ul>')
+
+    version = importlib.import_module('quant_tpu').__version__
+    index = (f'<!doctype html><html><head><meta charset="utf-8">'
+             f'<title>quant_tpu {version} API</title>'
+             f'<style>{_STYLE}</style></head><body>'
+             f'<h1>quant_tpu {version} — API reference</h1>'
+             f'<p>Rendered from module docstrings by tools/gen_docs.py '
+             f'(stdlib fallback for the sphinx tree in doc/).</p>'
+             + '\n'.join(index_items) + '</body></html>')
+    (out_dir / 'index.html').write_text(index)
+    return n
+
+
+def _first_line(mod) -> str:
+    doc = (mod.__doc__ or '').strip()
+    return doc.splitlines()[0] if doc else ''
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--out', default=str(REPO / 'doc/_build/html'))
+    args = ap.parse_args()
+    n = render(Path(args.out))
+    print(f'rendered {n} module pages + index -> {args.out}')
+
+
+if __name__ == '__main__':
+    main()
