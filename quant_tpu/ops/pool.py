@@ -132,9 +132,13 @@ def max_pool_3x3_s2_p1(x: jax.Array, interpret: bool = False,
     )(x, x)
 
 
-def pool_fusable(x_shape, kernel_size, stride, padding) -> bool:
+IntOr2 = int | tuple[int, int]
+
+
+def pool_fusable(x_shape: tuple[int, ...], kernel_size: IntOr2,
+                 stride: IntOr2, padding: IntOr2) -> bool:
     """True when max_pool_3x3_s2_p1 computes this pool exactly."""
-    def pair(v):
+    def pair(v: IntOr2) -> tuple[int, int]:
         return (v, v) if isinstance(v, int) else tuple(v)
     _, h, w, _ = x_shape
     return (pair(kernel_size) == (3, 3) and pair(stride) == (2, 2)

@@ -10,7 +10,6 @@ reduce_window (docs/DESIGN.md "Pallas stem maxpool"); it is kept as the
 documented negative result, not a production path.
 """
 
-import jax
 import jax.numpy as jnp
 import pytest
 
