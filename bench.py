@@ -14,11 +14,12 @@ model runs its sign-plane convs in bf16, which is EXACT for ±1 operands
 
 Measurement notes (this TPU is reached through a tunnel, see
 .claude/skills/verify/SKILL.md): dispatches have a ~2.5 ms latency floor
-and `block_until_ready` does not serialize with execution, so the
-iteration loop runs ON DEVICE via `lax.fori_loop` (one dispatch per
-measurement) and a single scalar `device_get` is the only sync.
+and `block_until_ready` does not serialize with execution, so forwards
+are chained through a data dependency (UNROLL per dispatch) and a single
+scalar `device_get` is the only sync.
 """
 
+import functools
 import json
 import time
 
@@ -34,8 +35,15 @@ try:
 except Exception:  # pragma: no cover - older jax
     pass
 
-ITERS = 24
+ITERS = 16
 BATCH = 1024
+# Forwards chained inside ONE jit dispatch. The tunnel costs ~2.5 ms per
+# dispatch and does NOT pipeline host dispatches with device execution
+# (probe_r5 head_*/ips_dus_*), so per-dispatch measurement taxes a 31 ms
+# step ~8%. Production serving pipelines batches without a host round
+# trip per batch; chaining u forwards per dispatch amortizes the tunnel
+# artifact the same way. u=4 measured best (u8 slightly worse).
+UNROLL = 4
 
 # Measured MXU peak on this chip (tools/probe_r3_results.jsonl:
 # chained 8192^3 bf16 matmul sustains 161 TFLOP/s — the DCE-proof
@@ -72,24 +80,30 @@ def _throughput(apply_fn, variables, x) -> float:
     """Images/sec with iterations serialized by data dependency.
 
     A device-side fori_loop would be cleaner but the remote compiler in
-    this environment stalls on it for large models; chaining host
-    dispatches through a data dependency costs ~2.5 ms per iteration,
-    amortized by the large batch.
+    this environment stalls on it for large models; instead UNROLL
+    forwards are chained inside one jit. Each forward's input carries a
+    FULL reduction of the previous forward's logits (the DCE-proof
+    pattern — never a slice, which XLA folds into the dots), written
+    into one element of the donated carrier so the chain itself costs
+    no bandwidth.
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def step(t):
-        out = apply_fn(variables, t, False)
-        return t + 1e-12 * jnp.mean(out).astype(t.dtype)
+        for _ in range(UNROLL):
+            out = apply_fn(variables, t, False)
+            t = t.at[0, 0, 0, 0].add(
+                (1e-12 * jnp.mean(out)).astype(t.dtype))
+        return t
 
-    y = step(x)  # compile + warm
+    y = step(jnp.array(x, copy=True))  # copy: donation kills the buffer
     _ = jax.device_get(jnp.sum(y[0, 0, 0]))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         y = step(y)
     _ = jax.device_get(jnp.sum(y[0, 0, 0]))
     dt = time.perf_counter() - t0
-    return x.shape[0] * ITERS / dt
+    return x.shape[0] * UNROLL * ITERS / dt
 
 
 def main() -> None:

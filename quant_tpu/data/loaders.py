@@ -283,7 +283,10 @@ class CIFAR100DataLoader(_CIFARBase):
 class ImageNetDataLoader(QuantDataLoader):
     """ImageNet from the standard train/val class-folder layout.
 
-    Decoding uses PIL. Train aug parity with the reference
+    Decoding uses the native libjpeg pipeline when available (fused
+    scaled-DCT decode + crop + resize, native/quantjpeg.cpp; disable
+    with native_decode=False) with per-file PIL fallback for non-JPEG
+    inputs. Train aug parity with the reference
     (data_loaders.py:330-338): RandomResizedCrop(224) + HFlip +
     ColorJitter(0.4, 0.4, 0.4); test: Resize(256) + CenterCrop(224);
     ImageNet normalization. Images are decoded lazily per batch (the full
@@ -303,13 +306,18 @@ class ImageNetDataLoader(QuantDataLoader):
     CROP, RESIZE = 224, 256
     JITTER = (0.4, 0.4, 0.4)
 
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, native_decode: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         try:
             from PIL import Image  # noqa: F401
             self._pil = True
         except ImportError:  # pragma: no cover
             self._pil = False
+        if native_decode:
+            from quant_tpu.data import native_jpeg
+            self._native = native_jpeg.AVAILABLE
+        else:
+            self._native = False
 
     def _index_split(self, split: str):
         root = self.dataset_path / split
@@ -323,37 +331,102 @@ class ImageNetDataLoader(QuantDataLoader):
                 labels.append(li)
         return files, np.asarray(labels, np.int64)
 
+    def _train_box(self, w: int, h: int, rng):
+        """RandomResizedCrop(224) box draw: scale (0.08,1.0), ratio
+        (3/4,4/3), 10 tries then full image (reference
+        data_loaders.py:330-338 / torchvision semantics)."""
+        for _ in range(10):
+            area = w * h * rng.uniform(0.08, 1.0)
+            ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
+            cw = int(round(np.sqrt(area * ratio)))
+            ch = int(round(np.sqrt(area / ratio)))
+            if cw <= w and ch <= h:
+                x0 = int(rng.integers(0, w - cw + 1))
+                y0 = int(rng.integers(0, h - ch + 1))
+                return (x0, y0, cw, ch)
+        return None  # full image
+
+    def _eval_geometry(self, w: int, h: int):
+        """Resize (min side -> 256) dims and the 224 center-crop box in
+        RESIZED coordinates (reference data_loaders.py:356-363)."""
+        scale = self.RESIZE / min(w, h)
+        w2 = max(self.CROP, int(round(w * scale)))
+        h2 = max(self.CROP, int(round(h * scale)))
+        return w2, h2, (w2 - self.CROP) // 2, (h2 - self.CROP) // 2
+
     def _decode(self, path, train: bool, rng) -> np.ndarray:
-        from PIL import Image
-        img = Image.open(path).convert('RGB')
-        w, h = img.size
-        if train:
-            # RandomResizedCrop(224): scale (0.08,1.0), ratio (3/4,4/3)
-            for _ in range(10):
-                area = w * h * rng.uniform(0.08, 1.0)
-                ratio = np.exp(rng.uniform(np.log(3 / 4), np.log(4 / 3)))
-                cw = int(round(np.sqrt(area * ratio)))
-                ch = int(round(np.sqrt(area / ratio)))
-                if cw <= w and ch <= h:
-                    x0 = rng.integers(0, w - cw + 1)
-                    y0 = rng.integers(0, h - ch + 1)
-                    img = img.crop((x0, y0, x0 + cw, y0 + ch))
-                    break
-            img = img.resize((self.CROP, self.CROP), Image.BILINEAR)
-            if rng.random() < 0.5:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        """One image -> normalized float32 (224, 224, 3).
+
+        The native libjpeg path (fused scaled decode + crop + resize)
+        serves JPEG files; PIL serves everything else. Geometry is
+        drawn ONCE from `rng` before the backend choice, so seeds
+        reproduce regardless of which backend handles which file.
+        """
+        from quant_tpu.data import native_jpeg
+        img = None
+        data = dims = None
+        if self._native:
+            data = path.read_bytes()
+            dims = native_jpeg.probe(data)
+        if dims is not None:
+            w, h = dims
         else:
-            scale = self.RESIZE / min(w, h)
-            img = img.resize((max(self.CROP, int(round(w * scale))),
-                              max(self.CROP, int(round(h * scale)))),
-                             Image.BILINEAR)
-            w2, h2 = img.size
-            x0 = (w2 - self.CROP) // 2
-            y0 = (h2 - self.CROP) // 2
-            img = img.crop((x0, y0, x0 + self.CROP, y0 + self.CROP))
-        arr = np.asarray(img, np.float32) / 255.0
+            from PIL import Image
+            img = Image.open(path).convert('RGB')
+            w, h = img.size
+
+        box = flip = None
         if train:
-            arr = color_jitter(arr, rng, *self.JITTER)
+            box = self._train_box(w, h, rng)
+            flip = rng.random() < 0.5
+
+        arr8 = None
+        if dims is not None:
+            if train:
+                arr8 = native_jpeg.decode_crop_resize(
+                    data, box, (self.CROP, self.CROP), flip)
+            else:
+                # Same two-step as the PIL path (resize min-side to 256,
+                # center-crop 224) so both backends see identical
+                # geometry; libjpeg's scaled decode still kicks in for
+                # large sources since the full image downsizes ~4x.
+                w2, h2, x0, y0 = self._eval_geometry(w, h)
+                full = native_jpeg.decode_crop_resize(data, None, (w2, h2))
+                if full is not None:
+                    arr8 = full[y0:y0 + self.CROP, x0:x0 + self.CROP]
+
+        if arr8 is None:  # no native lib, non-JPEG file, or decode error
+            from PIL import Image
+            if img is None:
+                img = Image.open(path).convert('RGB')
+            if train:
+                if box is not None:
+                    x0, y0, cw, ch = box
+                    img = img.crop((x0, y0, x0 + cw, y0 + ch))
+                img = img.resize((self.CROP, self.CROP), Image.BILINEAR)
+                if flip:
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            else:
+                w2, h2, x0, y0 = self._eval_geometry(w, h)
+                img = img.resize((w2, h2), Image.BILINEAR)
+                img = img.crop((x0, y0, x0 + self.CROP, y0 + self.CROP))
+            arr8 = np.asarray(img, np.uint8)
+
+        factors = order = None
+        if train:
+            b, c, s = self.JITTER
+            factors = (rng.uniform(max(0.0, 1 - b), 1 + b),
+                       rng.uniform(max(0.0, 1 - c), 1 + c),
+                       rng.uniform(max(0.0, 1 - s), 1 + s))
+            order = rng.permutation(3)
+        if self._native:
+            out = native_jpeg.jitter_norm(arr8, self.MEAN, self.STD,
+                                          factors, order)
+            if out is not None:
+                return out
+        arr = arr8.astype(np.float32) / 255.0
+        if train:
+            arr = apply_color_jitter(arr, *factors, order)
         return (arr - self.MEAN) / self.STD
 
     def _loader(self, split: str, batch_size: int, train: bool):

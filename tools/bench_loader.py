@@ -8,7 +8,8 @@ decode work), then iterates the train loader (RandomResizedCrop + flip
 no model attached.
 
 CPU-only — safe to run alongside TPU work.
-Usage: python tools/bench_loader.py [n_images] [batch] [workers]
+Usage: python tools/bench_loader.py [n_images] [batch] [workers] [backend]
+  backend: native (default) | pil
 """
 
 import json
@@ -47,10 +48,13 @@ def main():
     root = Path('/tmp/fake_imagenet')
     make_fake_imagenet(root, n_images)
 
+    backend = sys.argv[4] if len(sys.argv) > 4 else 'native'
+
     from quant_tpu.data.loaders import ImageNetDataLoader
     dl = ImageNetDataLoader(dataset_path=str(root), train_batch_size=batch,
                             test_batch_size=batch, seed=0,
-                            workers=workers or None)
+                            workers=workers or None,
+                            native_decode=backend == 'native')
     loader = dl.get_train_loader()
 
     # Warm epoch (thread pool spin-up, page cache).
@@ -69,6 +73,7 @@ def main():
         'batch': batch,
         'images': n,
         'workers': workers or 'default(8)',
+        'backend': backend,
     }))
 
 

@@ -237,6 +237,60 @@ def head_matmul_first():
     record('head_matmul_first', ms=round(_time_head(f) * 1e3, 3))
 
 
+def _packed_model(batch):
+    sys.path.insert(0, '/root/repo')
+    from bench import _resnet18
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    m = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
+    v = dict(m.init(key, x[:2], True))
+    v['quant_state'] = jax.tree.map(lambda t: jnp.full_like(t, 0.5),
+                                    v.get('quant_state', {}))
+    packed = m.clone(inference_mode='packed', eval_dtype=jnp.bfloat16,
+                     sign_compute='int8')
+    return packed, v, x
+
+
+def _ips_dus(apply_fn, v, x, unroll, iters=12):
+    """One-element DUS chain + donated carrier + in-jit unroll."""
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(t):
+        for _ in range(unroll):
+            out = apply_fn(v, t, False)
+            t = t.at[0, 0, 0, 0].add(
+                (1e-12 * jnp.mean(out)).astype(t.dtype))
+        return t
+
+    y = step(x)
+    _ = jax.device_get(jnp.sum(y[0, 0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = step(y)
+    _ = jax.device_get(jnp.sum(y[0, 0, 0]))
+    dt = time.perf_counter() - t0
+    return x.shape[0] * unroll * iters / dt
+
+
+@probe
+def ips_dus_u1():
+    packed, v, x = _packed_model(B)
+    record('ips_dus_u1', ips=round(_ips_dus(packed.apply, v, x, 1), 1))
+
+
+@probe
+def ips_dus_u4():
+    packed, v, x = _packed_model(B)
+    record('ips_dus_u4', ips=round(_ips_dus(packed.apply, v, x, 4), 1))
+
+
+@probe
+def ips_dus_u8():
+    packed, v, x = _packed_model(B)
+    record('ips_dus_u8', ips=round(_ips_dus(packed.apply, v, x, 8), 1))
+
+
 def main():
     if len(sys.argv) < 2 or sys.argv[1] == '--list':
         print('\n'.join(PROBES))
