@@ -140,9 +140,14 @@ int qj_decode(const uint8_t* buf, int64_t n,
   err.pub.error_exit = on_error;
   err.pub.emit_message = silence;
   err.pub.output_message = silence_msg;
-  std::vector<uint8_t>* rows = nullptr;
+  // Heap buffers via volatile pointers: locals modified after setjmp
+  // are indeterminate after a longjmp (libjpeg's error_exit), and a
+  // longjmp must not skip destructors of non-trivial locals.
+  std::vector<uint8_t>* volatile rows = nullptr;
+  std::vector<uint8_t>* volatile line = nullptr;
   if (setjmp(err.jb)) {
     delete rows;
+    delete line;
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
@@ -183,22 +188,27 @@ int qj_decode(const uint8_t* buf, int64_t n,
   if (sy1 > sh) sy1 = sh;
   const int bw = sx1 - sx0, bh = sy1 - sy0;
 
-  // Decode; keep only the box rows/cols.
+  // Decode; keep only the box rows/cols, stop at the box's last row.
   rows = new std::vector<uint8_t>(
       static_cast<size_t>(bh) * bw * 3);
-  std::vector<uint8_t> line(static_cast<size_t>(sw) * 3);
-  JSAMPROW rp[1] = {line.data()};
+  line = new std::vector<uint8_t>(static_cast<size_t>(sw) * 3);
+  JSAMPROW rp[1] = {line->data()};
   int y = 0;
-  while (cinfo.output_scanline < cinfo.output_height) {
+  while (cinfo.output_scanline < cinfo.output_height && y < sy1) {
     jpeg_read_scanlines(&cinfo, rp, 1);
-    if (y >= sy0 && y < sy1)
+    if (y >= sy0)
       std::memcpy(rows->data() + static_cast<size_t>(y - sy0) * bw * 3,
-                  line.data() + static_cast<size_t>(sx0) * 3,
+                  line->data() + static_cast<size_t>(sx0) * 3,
                   static_cast<size_t>(bw) * 3);
     ++y;
   }
-  jpeg_finish_decompress(&cinfo);
+  if (cinfo.output_scanline < cinfo.output_height)
+    jpeg_abort_decompress(&cinfo);  // crop ends above the image bottom
+  else
+    jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  delete line;
+  line = nullptr;
 
   // Separable PIL-style bilinear: horizontal then vertical.
   AxisWeights wx = make_weights(bw, out_w);

@@ -362,17 +362,20 @@ class ImageNetDataLoader(QuantDataLoader):
         drawn ONCE from `rng` before the backend choice, so seeds
         reproduce regardless of which backend handles which file.
         """
-        from quant_tpu.data import native_jpeg
         img = None
         data = dims = None
         if self._native:
+            from quant_tpu.data import native_jpeg
             data = path.read_bytes()
             dims = native_jpeg.probe(data)
         if dims is not None:
             w, h = dims
         else:
+            import io
+
             from PIL import Image
-            img = Image.open(path).convert('RGB')
+            img = Image.open(io.BytesIO(data) if data is not None
+                             else path).convert('RGB')
             w, h = img.size
 
         box = flip = None
@@ -396,9 +399,12 @@ class ImageNetDataLoader(QuantDataLoader):
                     arr8 = full[y0:y0 + self.CROP, x0:x0 + self.CROP]
 
         if arr8 is None:  # no native lib, non-JPEG file, or decode error
+            import io
+
             from PIL import Image
             if img is None:
-                img = Image.open(path).convert('RGB')
+                img = Image.open(io.BytesIO(data) if data is not None
+                                 else path).convert('RGB')
             if train:
                 if box is not None:
                     x0, y0, cw, ch = box

@@ -8,11 +8,12 @@ without a toolchain — `AVAILABLE` reports which path is active.
 
 import ctypes
 import logging
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+from quant_tpu.data._native_build import build_and_load
 
 logger = logging.getLogger(__name__)
 
@@ -22,30 +23,12 @@ _SRC = Path(__file__).resolve().parents[2] / 'native' / 'quantdata.cpp'
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> bool:
-    if not _SRC.exists():
-        return False
-    try:
-        subprocess.run(
-            ['g++', '-O3', '-march=native', '-fPIC', '-shared', '-fopenmp',
-             str(_SRC), '-o', str(_SO)],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except (OSError, subprocess.SubprocessError) as e:
-        logger.info('native quantdata build skipped: %s', e)
-        return False
-
-
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError as e:  # pragma: no cover
-        logger.info('native quantdata load failed: %s', e)
+    lib = build_and_load(_SRC, _SO, ('-fopenmp',))
+    if lib is None:
         return None
     i64, u64, i32 = ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32
     fp = np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS')

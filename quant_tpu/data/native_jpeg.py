@@ -12,11 +12,12 @@ the same rng stream — only the decoder/resampler implementation differs.
 
 import ctypes
 import logging
-import subprocess
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
+
+from quant_tpu.data._native_build import build_and_load
 
 logger = logging.getLogger(__name__)
 
@@ -26,30 +27,12 @@ _SRC = Path(__file__).resolve().parents[2] / 'native' / 'quantjpeg.cpp'
 _lib: Optional[ctypes.CDLL] = None
 
 
-def _build() -> bool:
-    if not _SRC.exists():
-        return False
-    try:
-        subprocess.run(
-            ['g++', '-O3', '-march=native', '-fPIC', '-shared',
-             str(_SRC), '-o', str(_SO), '-ljpeg'],
-            check=True, capture_output=True, timeout=120)
-        return True
-    except (OSError, subprocess.SubprocessError) as e:
-        logger.info('native quantjpeg build skipped: %s', e)
-        return False
-
-
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not _SO.exists() and not _build():
-        return None
-    try:
-        lib = ctypes.CDLL(str(_SO))
-    except OSError as e:  # pragma: no cover
-        logger.info('native quantjpeg load failed: %s', e)
+    lib = build_and_load(_SRC, _SO, ('-ljpeg',))
+    if lib is None:
         return None
     i32, i64 = ctypes.c_int32, ctypes.c_int64
     u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -46,6 +46,25 @@ def test_probe_rejects_garbage():
     assert native_jpeg.decode_crop_resize(b'nope', None, (8, 8)) is None
 
 
+def test_truncated_jpeg_never_crashes(photo):
+    # libjpeg pads missing scanlines (a warning, not error_exit), so a
+    # result OR None is acceptable — the invariant is no crash/UB on
+    # the longjmp error path, hammered across truncation points.
+    _, data = photo
+    for frac in (0.1, 0.3, 0.6, 0.9):
+        t = data[:int(len(data) * frac)]
+        r = native_jpeg.decode_crop_resize(t, (0, 250, 40, 40), (32, 32))
+        assert r is None or r.shape == (32, 32, 3)
+
+
+def test_crop_box_out_of_bounds_rejected(photo):
+    _, data = photo
+    assert native_jpeg.decode_crop_resize(data, (390, 0, 20, 20),
+                                          (8, 8)) is None
+    assert native_jpeg.decode_crop_resize(data, (-1, 0, 20, 20),
+                                          (8, 8)) is None
+
+
 def test_full_decode_bit_exact_vs_pil(photo):
     from PIL import Image
     _, data = photo

@@ -23,7 +23,8 @@ def test_rst_covers_every_package_module():
     on_disk = {
         str(p.relative_to(REPO)).replace('/', '.').removesuffix('.py')
         for p in (REPO / 'quant_tpu').rglob('*.py')
-        if p.name != '__init__.py'
+        # Private modules (leading underscore) are not public API.
+        if p.name != '__init__.py' and not p.name.startswith('_')
     }
     missing = on_disk - listed
     assert not missing, f'modules absent from doc/quant_tpu.rst: {missing}'

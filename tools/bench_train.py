@@ -27,14 +27,17 @@ def main() -> None:
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else BATCH
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else ITERS
+
     from bench import _resnet18
     from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
                                  make_train_step)
     from quant_tpu.train.metrics import init_metric_state
 
     key = jax.random.key(0)
-    x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
-    y = jax.random.randint(key, (BATCH,), 0, 1000)
+    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    y = jax.random.randint(key, (batch,), 0, 1000)
 
     model = _resnet18('ls-1', 'ls-1')
     variables = model.init(key, x[:2], True)
@@ -52,14 +55,15 @@ def main() -> None:
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(iters):
         state, ms, loss = step(state, x, y, ms)
     _ = jax.device_get(loss)
     dt = time.perf_counter() - t0
 
     print(json.dumps({
         'metric': 'resnet18_ls1_train_images_per_sec',
-        'value': round(BATCH * ITERS / dt, 2),
+        'value': round(batch * iters / dt, 2),
+        'batch': batch,
         'unit': 'images/sec/chip',
         'compile_seconds': round(compile_s, 1),
     }))
