@@ -291,6 +291,49 @@ def ips_dus_u8():
     record('ips_dus_u8', ips=round(_ips_dus(packed.apply, v, x, 8), 1))
 
 
+def _conv_time(dtype, batch=256, hw=56, cin=64, cout=64, iters=12):
+    """Body-layer 3x3 conv rate for a given operand dtype (signs)."""
+    key = jax.random.key(0)
+    signs = jnp.where(jax.random.bernoulli(key, 0.5,
+                                           (batch, hw, hw, cin)), 1, -1)
+    wsigns = jnp.where(jax.random.bernoulli(key, 0.5,
+                                            (3, 3, cin, cout)), 1, -1)
+    x = signs.astype(dtype)
+    w = wsigns.astype(dtype)
+
+    @jax.jit
+    def step(t):
+        y = lax.conv_general_dilated(
+            t, w, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+        # Carry a full reduction back into the int operand domain.
+        s = (jnp.sum(y) % 3 - 1).astype(t.dtype)
+        return jnp.where(t == t[0, 0, 0, 0] * 0 + 1, s | 1, t)
+
+    y = step(x)
+    _ = jax.device_get(jnp.sum(y[:2, 0, 0].astype(jnp.int32)))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = step(y)
+    _ = jax.device_get(jnp.sum(y[:2, 0, 0].astype(jnp.int32)))
+    dt = (time.perf_counter() - t0) / iters
+    macs = batch * hw * hw * 9 * cin * cout
+    return dt, 2 * macs / dt / 1e12
+
+
+@probe
+def conv_s8_l1():
+    dt, tops = _conv_time(jnp.int8)
+    record('conv_s8_l1', ms=round(dt * 1e3, 3), tops=round(tops, 1))
+
+
+@probe
+def conv_s4_l1():
+    dt, tops = _conv_time(jnp.int4)
+    record('conv_s4_l1', ms=round(dt * 1e3, 3), tops=round(tops, 1))
+
+
 def main():
     if len(sys.argv) < 2 or sys.argv[1] == '--list':
         print('\n'.join(PROBES))
