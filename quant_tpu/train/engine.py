@@ -126,12 +126,15 @@ def train_epoch(train_step: Callable, state: TrainState,
                 lr_schedule: Optional[Callable] = None,
                 steps_per_epoch: Optional[int] = None,
                 assemble: Callable = jnp.asarray,
+                stop: Optional[Callable[[], bool]] = None,
                 ) -> tuple[TrainState, dict[str, float]]:
     """Run one training epoch; returns (new state, computed metrics).
 
     assemble: host batch -> device array. Default jnp.asarray; multi-host
     runs pass `parallel.multihost.global_batch` so each host's local rows
     form one logical DP-sharded global batch.
+    stop: polled before each batch (a `PreemptionGuard`); when it turns
+    true the epoch ends early with the metrics accumulated so far.
     """
     hooks = hooks or []
     metrics = MetricAccumulator()
@@ -142,6 +145,10 @@ def train_epoch(train_step: Callable, state: TrainState,
     # device_get per batch in the hook path.
     host_step = int(jax.device_get(state.step))
     for batch_idx, (data, target) in enumerate(loader):
+        if stop is not None and stop():
+            logger.warning('Stop requested: ending epoch %d after %d '
+                           'batches.', epoch, batch_idx)
+            break
         data = assemble(data)
         target = assemble(target)
         state, metric_state, loss = train_step(state, data, target,

@@ -23,6 +23,7 @@ from quant_tpu.train.engine import (
 from quant_tpu.train.kd import kd_criterion
 from quant_tpu.train.losses import get_loss_fn
 from quant_tpu.train.optim import make_optimizer
+from quant_tpu.train.preemption import PreemptionGuard
 from quant_tpu.train.state import TrainState
 from quant_tpu.utils.checkpoints import (
     get_path_to_checkpoint, restore_checkpoint, save_checkpoint,
@@ -271,6 +272,9 @@ def classification_task(
                      hooks=test_hooks, assemble=assemble))
     else:
         save_freq = int(log_config.get('save_model_freq', epochs))
+        # SIGTERM (pod preemption) -> finish the batch, write an
+        # interrupt checkpoint, stop. See train/preemption.py.
+        guard = PreemptionGuard()
         # Reference semantics: a restored run trains `epochs` MORE epochs
         # (tasks.py:196: range(start_epoch, start_epoch + epochs)).
         final_epoch = start_epoch + epochs - 1
@@ -279,7 +283,26 @@ def classification_task(
                 train_step, state, train_loader, epoch,
                 log_interval=int(log_config.get('interval', 10)),
                 hooks=train_hooks, lr_schedule=lr_schedule,
-                steps_per_epoch=len(train_loader), assemble=assemble)
+                steps_per_epoch=len(train_loader), assemble=assemble,
+                stop=guard)
+            if guard.requested:
+                # Payload epoch-1: restore re-runs the interrupted epoch
+                # (params are partially advanced; QAT tolerates the
+                # re-run). Directory tag = this epoch, so repeated
+                # preemptions overwrite one slot.
+                save_checkpoint(
+                    exp_dir / 'checkpoints',
+                    {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'quant_state': state.quant_state,
+                     'opt_state': state.opt_state,
+                     'step': state.step,
+                     'epoch': epoch - 1},
+                    epoch)
+                logger.warning('Interrupt checkpoint written; resume '
+                               'with --restore-experiment.')
+                guard.restore()
+                break
             m_test = evaluate(eval_step, state, test_loader, epoch=epoch,
                               hooks=test_hooks, assemble=assemble)
             train_epoch_metrics.append(m_train)
@@ -297,6 +320,7 @@ def classification_task(
                      'step': state.step,
                      'epoch': epoch},
                     epoch)
+        guard.restore()  # idempotent; break path already restored
 
     data_loader.cleanup()
     return train_epoch_metrics, test_epoch_metrics
