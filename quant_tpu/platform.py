@@ -58,3 +58,69 @@ class LocalComputePlatform(ComputePlatform):
         finally:
             if tb_proc is not None:
                 tb_proc.terminate()
+
+
+class PodComputePlatform(ComputePlatform):
+    """Run the experiment as N cooperating processes on this machine —
+    a simulated pod (the subclass point the reference reserved for its
+    never-implemented remote platform, compute_platform.py:38-58).
+
+    Each worker (quant_tpu/pod_worker.py) joins a local
+    `jax.distributed` coordinator; `classification_task` then switches
+    to per-host disjoint dataset shards + global-batch assembly
+    automatically. Checkpoints and artifacts are written by process 0
+    only. Use `env` to shape the workers (the canonical CPU-pod
+    simulation: JAX_PLATFORMS=cpu plus
+    XLA_FLAGS=--xla_force_host_platform_device_count=K for K devices
+    per process).
+
+    On a real TPU pod, do NOT use this class — run the example CLI once
+    per host; jax.distributed discovers the TPU coordinator itself.
+    """
+
+    def __init__(self, n_processes: int, port: Optional[int] = None,
+                 env: Optional[dict] = None, timeout: float = 600.0):
+        self.n_processes = n_processes
+        self.port = port  # None -> pick a free ephemeral port per run
+        self.env = env or {}
+        self.timeout = timeout
+
+    def run(self, experiment: Experiment) -> tuple[list, list]:
+        import json
+        import socket
+        import sys
+        import tempfile
+
+        port = self.port
+        if port is None:
+            with socket.socket() as s:
+                s.bind(('127.0.0.1', 0))
+                port = s.getsockname()[1]
+
+        exp_dir = experiment.experiment_dir
+        exp_dir.mkdir(parents=True, exist_ok=True)
+        with tempfile.TemporaryDirectory() as td:
+            cfg_path = Path(td) / 'config.json'
+            out_path = Path(td) / 'metrics.json'
+            cfg = dict(experiment.config)
+            cfg['log'] = dict(cfg.get('log', {}))
+            cfg['log']['root_experiments_dir'] = str(
+                experiment.root_experiments_dir)
+            with open(cfg_path, 'w') as f:
+                json.dump(cfg, f)
+            env = dict(os.environ, **{k: str(v)
+                                      for k, v in self.env.items()})
+            procs = [
+                subprocess.Popen(
+                    [sys.executable, '-m', 'quant_tpu.pod_worker',
+                     str(cfg_path), str(pid), str(self.n_processes),
+                     str(port), str(out_path)],
+                    env=env, cwd=str(Path(__file__).resolve().parents[1]))
+                for pid in range(self.n_processes)
+            ]
+            rcs = [p.wait(timeout=self.timeout) for p in procs]
+            if any(rcs):
+                raise RuntimeError(f'pod workers exited with {rcs}')
+            with open(out_path) as f:
+                payload = json.load(f)
+        return payload['train'], payload['test']

@@ -29,12 +29,20 @@ _CKPT_RE = re.compile(r'checkpoint_(\d+)$')
 
 def save_checkpoint(checkpoints_dir: Path, state_dict: dict[str, Any],
                     epoch: int) -> Path:
-    """Save a checkpoint_{epoch} directory; returns its path."""
+    """Save a checkpoint_{epoch} directory; returns its path.
+
+    Multi-process runs: both the device fetch (gathering arrays on a
+    global mesh) and orbax's save (an internal global barrier) are
+    COLLECTIVES — every process must call this function; orbax then
+    writes from the primary host only, so there is no shared-filesystem
+    race.
+    """
     checkpoints_dir = Path(checkpoints_dir).absolute()
-    checkpoints_dir.mkdir(parents=True, exist_ok=True)
     path = checkpoints_dir / f'checkpoint_{epoch}'
+    host_state = jax.device_get(state_dict)  # collective: all processes
+    checkpoints_dir.mkdir(parents=True, exist_ok=True)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, jax.device_get(state_dict), force=True)
+    ckptr.save(path, host_state, force=True)
     ckptr.wait_until_finished()
     logger.info('Saved checkpoint to %s', path)
     return path
