@@ -16,7 +16,10 @@ model.kd_config the distillation setup. Extensions for the TPU build:
 
 CLI args mirror the reference (parser.py:227-261): --config,
 --experiment-name, --ngpus/--nchips, --skip-training,
---restore-experiment, --init-from-checkpoint.
+--restore-experiment, --init-from-checkpoint; plus --auto-resume
+(resume the named experiment when it already has checkpoints — the same
+command line works before and after a preemption; pairs with
+train/preemption.py's SIGTERM interrupt checkpoints).
 """
 
 import argparse
@@ -44,6 +47,11 @@ def get_base_argument_parser(description: str = '') -> argparse.ArgumentParser:
                         help='Path to an experiment dir to fully resume')
     parser.add_argument('--init-from-checkpoint', type=str, default=None,
                         help='Checkpoint to warm-start weights from')
+    parser.add_argument('--auto-resume', action='store_true',
+                        help='Resume the named experiment if it already '
+                             'has checkpoints, else start fresh — the '
+                             'same command line works before and after '
+                             'a preemption')
     return parser
 
 
@@ -55,6 +63,15 @@ def parse_common_fields(args: argparse.Namespace) -> None:
     if args.restore_experiment and args.init_from_checkpoint:
         raise ValueError('--restore-experiment and --init-from-checkpoint '
                          'are mutually exclusive.')
+    if getattr(args, 'auto_resume', False):
+        if args.restore_experiment or args.init_from_checkpoint:
+            raise ValueError('--auto-resume is mutually exclusive with '
+                             '--restore-experiment / '
+                             '--init-from-checkpoint.')
+        if not args.config or not args.experiment_name:
+            raise ValueError('--auto-resume needs --config and '
+                             '--experiment-name (the stable identity the '
+                             'relaunched command resumes).')
 
 
 def _default_experiment_name(config_path: str) -> str:
@@ -68,6 +85,19 @@ def parse_config(args: argparse.Namespace) -> dict:
     Restoring an experiment reloads the config.yaml the experiment wrote.
     """
     parse_common_fields(args)
+
+    if getattr(args, 'auto_resume', False):
+        # Resume iff the named experiment already has a checkpoint; the
+        # restore path then reloads ITS config.yaml (edits to the
+        # original YAML are ignored on resume, same as an explicit
+        # --restore-experiment).
+        with open(args.config) as f:
+            raw = yaml.safe_load(f)
+        root = Path(raw.get('log', {}).get('root_experiments_dir',
+                                           'experiments/'))
+        exp_dir = root / args.experiment_name
+        if any((exp_dir / 'checkpoints').glob('checkpoint_*')):
+            args.restore_experiment = str(exp_dir)
 
     if args.restore_experiment is not None:
         config_path = Path(args.restore_experiment) / 'config.yaml'

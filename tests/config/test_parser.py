@@ -75,3 +75,46 @@ def test_restore_reloads_experiment_config(tmp_path):
         ['--restore-experiment', str(exp)]))
     assert config['restore_experiment'] == str(exp)
     assert config['experiment_name'] == 'myexp'
+
+
+# ---- --auto-resume: same command line before and after a preemption ----
+
+def _auto_args(cfg_path, name='run'):
+    parser = get_base_argument_parser()
+    return parser.parse_args(['--config', str(cfg_path),
+                              '--experiment-name', name, '--auto-resume'])
+
+
+def test_auto_resume_fresh_run_starts_clean(tmp_path):
+    cfg = dict(MINI)
+    cfg['log'] = dict(MINI['log'],
+                      root_experiments_dir=str(tmp_path / 'exps'))
+    config = parse_config(_auto_args(_write(tmp_path, cfg)))
+    assert 'restore_experiment' not in config
+    assert config['experiment_name'] == 'run'
+
+
+def test_auto_resume_picks_up_existing_checkpoints(tmp_path):
+    cfg = dict(MINI)
+    cfg['log'] = dict(MINI['log'],
+                      root_experiments_dir=str(tmp_path / 'exps'))
+    cfg_path = _write(tmp_path, cfg)
+    exp_dir = tmp_path / 'exps' / 'run'
+    (exp_dir / 'checkpoints' / 'checkpoint_3').mkdir(parents=True)
+    # Restore reloads the experiment's own config snapshot.
+    (exp_dir / 'config.yaml').write_text(yaml.safe_dump(cfg))
+    config = parse_config(_auto_args(cfg_path))
+    assert config['restore_experiment'] == str(exp_dir)
+    assert config['experiment_name'] == 'run'
+
+
+def test_auto_resume_needs_name_and_excludes_restore(tmp_path):
+    parser = get_base_argument_parser()
+    cfg_path = _write(tmp_path, MINI)
+    with pytest.raises(ValueError, match='experiment-name'):
+        parse_common_fields(parser.parse_args(
+            ['--config', str(cfg_path), '--auto-resume']))
+    with pytest.raises(ValueError, match='mutually exclusive'):
+        parse_common_fields(parser.parse_args(
+            ['--config', str(cfg_path), '--experiment-name', 'r',
+             '--auto-resume', '--restore-experiment', 'x']))
