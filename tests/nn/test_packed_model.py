@@ -22,6 +22,7 @@ def _trained_vars(model, x):
 @pytest.mark.parametrize('x_quant,w_quant', [
     ('ls-1', 'ls-1'), ('ls-2', 'ls-1'), ('ls-T', 'ls-1'),
     ('gf-2', 'ls-1'), ('fp', 'ls-1'), ('ls-1', 'ls-2'), ('ls-1', 'ls-T'),
+    ('gf-3', 'gf-2'),  # k>2 on both sides: 6 plane-pair passes fuse
 ])
 def test_lenet_packed_matches_dense(rng, x_quant, w_quant):
     x = jnp.asarray(rng.standard_normal((4, 28, 28, 1)), jnp.float32)
