@@ -96,7 +96,10 @@ def parse_config(args: argparse.Namespace) -> dict:
         root = Path(raw.get('log', {}).get('root_experiments_dir',
                                            'experiments/'))
         exp_dir = root / args.experiment_name
-        if any((exp_dir / 'checkpoints').glob('checkpoint_*')):
+        # Finalized checkpoints only: an interrupted orbax save leaves
+        # tmp dirs that must not trigger (an unrestorable) resume.
+        from quant_tpu.utils.checkpoints import has_finalized_checkpoint
+        if has_finalized_checkpoint(exp_dir):
             args.restore_experiment = str(exp_dir)
 
     if args.restore_experiment is not None:

@@ -64,6 +64,23 @@ def initialize(coordinator_address: Optional[str] = None,
                        '(%s); continuing single-host', e)
 
 
+def collective_any(flag: bool) -> bool:
+    """True when ANY process raised `flag` — a consensus point.
+
+    Per-process decisions that change control flow (e.g. the preemption
+    stop in the train loop) must be agreed collectively: one process
+    breaking out of the batch loop while a peer enters the next step's
+    collectives is a distributed deadlock. Every process must call this
+    at the same loop points. Single-process: just the local flag, no
+    collective dispatched.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(multihost_utils.process_allgather(
+        np.asarray(bool(flag))).any())
+
+
 def host_shard(num_examples: int,
                process_index: Optional[int] = None,
                process_count: Optional[int] = None,

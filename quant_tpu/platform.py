@@ -84,12 +84,29 @@ class PodComputePlatform(ComputePlatform):
         self.port = port  # None -> pick a free ephemeral port per run
         self.env = env or {}
         self.timeout = timeout
+        # Observability hook: called with the list of Popen handles
+        # right after spawn (tests use it to preempt single workers).
+        self.on_spawn: Optional[object] = None
 
     def run(self, experiment: Experiment) -> tuple[list, list]:
         import json
         import socket
         import sys
         import tempfile
+        import time
+
+        # The workers run `classification_task` resolved from the
+        # serialized config; a custom task_fn/loader/hooks object cannot
+        # cross the process boundary — fail loudly instead of silently
+        # running defaults.
+        from quant_tpu.train.task import classification_task
+        if (experiment.task_fn is not classification_task
+                or experiment.data_loader_cls is not None
+                or experiment.get_hooks is not None):
+            raise ValueError(
+                'PodComputePlatform runs classification_task resolved '
+                'from the config; custom task_fn / data_loader_cls / '
+                'get_hooks are not forwarded to the workers.')
 
         port = self.port
         if port is None:
@@ -118,9 +135,35 @@ class PodComputePlatform(ComputePlatform):
                     env=env, cwd=str(Path(__file__).resolve().parents[1]))
                 for pid in range(self.n_processes)
             ]
-            rcs = [p.wait(timeout=self.timeout) for p in procs]
-            if any(rcs):
-                raise RuntimeError(f'pod workers exited with {rcs}')
+            if callable(self.on_spawn):
+                self.on_spawn(procs)
+            try:
+                # Poll the gang under one shared deadline. A worker that
+                # died strands its peers inside collectives, so the
+                # FIRST failure (not the first in list order) aborts and
+                # kills everyone.
+                deadline = time.monotonic() + self.timeout
+                while True:
+                    rcs = [p.poll() for p in procs]
+                    failed = [(i, rc) for i, rc in enumerate(rcs)
+                              if rc not in (None, 0)]
+                    if failed:
+                        raise RuntimeError(
+                            f'pod worker(s) failed: {failed} '
+                            f'(all exit codes: {rcs})')
+                    if all(rc == 0 for rc in rcs):
+                        break
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(
+                            f'pod workers did not finish within '
+                            f'{self.timeout}s (exit codes: {rcs})')
+                    time.sleep(0.2)
+            finally:
+                for p in procs:
+                    if p.poll() is None:
+                        p.kill()
+                for p in procs:
+                    p.wait()
             with open(out_path) as f:
                 payload = json.load(f)
         return payload['train'], payload['test']

@@ -44,9 +44,16 @@ def main() -> None:
         with open(out, 'w') as f:
             json.dump({'train': train_m, 'test': test_m}, f)
     else:
+        # Mirror Experiment.run's task invocation (minus artifact
+        # writes): forwarding restore_experiment matters — a resumed pod
+        # in which only process 0 restored would train divergent
+        # replicas and desynchronize the collective checkpoint saves.
         root = Path(config['log'].get('root_experiments_dir',
                                       'experiments/'))
-        classification_task(config, root)
+        restore = config.get('restore_experiment')
+        classification_task(
+            config, root,
+            restore_experiment=Path(restore) if restore else None)
 
 
 if __name__ == '__main__':

@@ -272,55 +272,54 @@ def classification_task(
                      hooks=test_hooks, assemble=assemble))
     else:
         save_freq = int(log_config.get('save_model_freq', epochs))
-        # SIGTERM (pod preemption) -> finish the batch, write an
-        # interrupt checkpoint, stop. See train/preemption.py.
-        guard = PreemptionGuard()
-        # Reference semantics: a restored run trains `epochs` MORE epochs
-        # (tasks.py:196: range(start_epoch, start_epoch + epochs)).
-        final_epoch = start_epoch + epochs - 1
-        for epoch in range(start_epoch, start_epoch + epochs):
-            state, m_train = train_epoch(
-                train_step, state, train_loader, epoch,
-                log_interval=int(log_config.get('interval', 10)),
-                hooks=train_hooks, lr_schedule=lr_schedule,
-                steps_per_epoch=len(train_loader), assemble=assemble,
-                stop=guard)
-            if guard.requested:
-                # Payload epoch-1: restore re-runs the interrupted epoch
-                # (params are partially advanced; QAT tolerates the
-                # re-run). Directory tag = this epoch, so repeated
-                # preemptions overwrite one slot.
-                save_checkpoint(
-                    exp_dir / 'checkpoints',
-                    {'params': state.params,
-                     'batch_stats': state.batch_stats,
-                     'quant_state': state.quant_state,
-                     'opt_state': state.opt_state,
-                     'step': state.step,
-                     'epoch': epoch - 1},
-                    epoch)
-                logger.warning('Interrupt checkpoint written; resume '
-                               'with --restore-experiment.')
-                guard.restore()
-                break
-            m_test = evaluate(eval_step, state, test_loader, epoch=epoch,
-                              hooks=test_hooks, assemble=assemble)
-            train_epoch_metrics.append(m_train)
-            test_epoch_metrics.append(m_test)
 
-            # Always checkpoint the LAST epoch of this run (for a resumed
-            # run that is start_epoch+epochs-1, not `epochs`).
-            if epoch % save_freq == 0 or epoch == final_epoch:
-                save_checkpoint(
-                    exp_dir / 'checkpoints',
-                    {'params': state.params,
-                     'batch_stats': state.batch_stats,
-                     'quant_state': state.quant_state,
-                     'opt_state': state.opt_state,
-                     'step': state.step,
-                     'epoch': epoch},
-                    epoch)
-        guard.restore()  # idempotent; break path already restored
+        def _payload(epoch: int) -> dict:
+            return {'params': state.params,
+                    'batch_stats': state.batch_stats,
+                    'quant_state': state.quant_state,
+                    'opt_state': state.opt_state,
+                    'step': state.step,
+                    'epoch': epoch}
+
+        # SIGTERM (pod preemption) -> finish the batch, write an
+        # interrupt checkpoint, stop. The per-batch stop decision is a
+        # cluster CONSENSUS (jax's preemption sync service, or
+        # collective_any fallback — see train/preemption.py): acting on
+        # a local flag alone would strand peers inside the step
+        # collectives. The `with` restores any signal handlers even
+        # when an epoch raises.
+        with PreemptionGuard() as guard:
+            # Reference semantics: a restored run trains `epochs` MORE
+            # epochs (tasks.py:196: range(start_epoch, start+epochs)).
+            final_epoch = start_epoch + epochs - 1
+            for epoch in range(start_epoch, start_epoch + epochs):
+                state, m_train = train_epoch(
+                    train_step, state, train_loader, epoch,
+                    log_interval=int(log_config.get('interval', 10)),
+                    hooks=train_hooks, lr_schedule=lr_schedule,
+                    steps_per_epoch=len(train_loader), assemble=assemble,
+                    stop=guard)
+                if guard.requested:
+                    # Payload epoch-1: restore re-runs the interrupted
+                    # epoch (params are partially advanced; QAT
+                    # tolerates the re-run). Directory tag = this
+                    # epoch, so repeated preemptions overwrite one slot.
+                    save_checkpoint(exp_dir / 'checkpoints',
+                                    _payload(epoch - 1), epoch)
+                    logger.warning('Interrupt checkpoint written; '
+                                   'resume with --restore-experiment.')
+                    break
+                m_test = evaluate(eval_step, state, test_loader,
+                                  epoch=epoch, hooks=test_hooks,
+                                  assemble=assemble)
+                train_epoch_metrics.append(m_train)
+                test_epoch_metrics.append(m_test)
+
+                # Always checkpoint the LAST epoch of this run (for a
+                # resumed run: start_epoch+epochs-1, not `epochs`).
+                if epoch % save_freq == 0 or epoch == final_epoch:
+                    save_checkpoint(exp_dir / 'checkpoints',
+                                    _payload(epoch), epoch)
 
     data_loader.cleanup()
     return train_epoch_metrics, test_epoch_metrics

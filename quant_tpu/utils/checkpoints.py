@@ -57,6 +57,21 @@ def restore_checkpoint(path: Path,
     return ckptr.restore(Path(path).absolute())
 
 
+def has_finalized_checkpoint(experiment_path: Path) -> bool:
+    """True when the experiment has a completed checkpoint_{N}.
+
+    Matches with the same `checkpoint_(\\d+)$` rule as
+    `get_path_to_checkpoint`: orbax leaves `*.orbax-checkpoint-tmp-*`
+    directories behind when a save is interrupted, and those must not
+    count (an --auto-resume that saw one would crash on restore instead
+    of starting fresh).
+    """
+    ckpt_dir = Path(experiment_path) / 'checkpoints'
+    if not ckpt_dir.is_dir():
+        return False
+    return any(_CKPT_RE.search(p.name) for p in ckpt_dir.iterdir())
+
+
 def get_path_to_checkpoint(experiment_path: Path,
                            epoch: Optional[int] = None) -> Path:
     """Pick the checkpoint with the given (or max) epoch

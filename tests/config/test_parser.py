@@ -118,3 +118,17 @@ def test_auto_resume_needs_name_and_excludes_restore(tmp_path):
         parse_common_fields(parser.parse_args(
             ['--config', str(cfg_path), '--experiment-name', 'r',
              '--auto-resume', '--restore-experiment', 'x']))
+
+
+def test_auto_resume_ignores_orbax_tmp_dirs(tmp_path):
+    # A save interrupted mid-write leaves only a tmp dir; auto-resume
+    # must start fresh, not point restore at an unrestorable experiment.
+    cfg = dict(MINI)
+    cfg['log'] = dict(MINI['log'],
+                      root_experiments_dir=str(tmp_path / 'exps'))
+    cfg_path = _write(tmp_path, cfg)
+    exp_dir = tmp_path / 'exps' / 'run'
+    (exp_dir / 'checkpoints'
+     / 'checkpoint_2.orbax-checkpoint-tmp-123').mkdir(parents=True)
+    config = parse_config(_auto_args(cfg_path))
+    assert 'restore_experiment' not in config

@@ -35,7 +35,7 @@ def test_pod_platform_two_processes(tmp_path):
                 'root_experiments_dir': str(tmp_path / 'experiments')},
     }
     platform = PodComputePlatform(
-        n_processes=2, port=12411,
+        n_processes=2,  # port=None: ephemeral, no CI collisions
         env={'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': '',
              'XLA_FLAGS': '--xla_force_host_platform_device_count=2'})
     exp = Experiment(classification_task, cfg)
@@ -48,3 +48,71 @@ def test_pod_platform_two_processes(tmp_path):
     assert (exp_dir / 'metrics' / 'train.csv').exists()
     # Process-0-only checkpoint write happened exactly once.
     assert (exp_dir / 'checkpoints' / 'checkpoint_1').exists()
+
+
+def test_pod_platform_rejects_unforwardable_experiment(tmp_path):
+    import pytest
+
+    cfg = {'log': {'root_experiments_dir': str(tmp_path)},
+           'experiment_name': 'x'}
+    exp = Experiment(classification_task, cfg,
+                     get_hooks=lambda c, d: ([], []))
+    with pytest.raises(ValueError, match='not forwarded'):
+        PodComputePlatform(n_processes=2).run(exp)
+
+
+def test_pod_preemption_consensus_checkpoints_cleanly(tmp_path):
+    """SIGTERM delivered to ONE worker mid-run: the stop decision is a
+    cross-process consensus (parallel/multihost.collective_any), so both
+    workers must leave the batch loop at the same step, jointly write
+    the interrupt checkpoint (a collective), and exit 0 — the
+    distributed-deadlock scenario if either side acted on a local flag.
+    """
+    import signal
+    import threading
+    import time
+
+    from quant_tpu.utils.checkpoints import (
+        get_path_to_checkpoint, restore_checkpoint,
+    )
+
+    epochs = 400
+    cfg = {
+        'seed': 0,
+        'experiment_name': 'podpre',
+        'environment': {'platform': 'pod', 'nchips': 0},
+        'data': {'dataset': 'synthetic', 'train_batch_size': 16,
+                 'test_batch_size': 16, 'train_size': 512, 'test_size': 32,
+                 'image_shape': [28, 28, 1], 'seed': 3},
+        'model': {'architecture': 'lenet5', 'loss': 'nll_loss',
+                  'arch_config': {'conv1_filters': 4, 'conv2_filters': 4,
+                                  'x_quant': 'ls-1', 'w_quant': 'ls-1',
+                                  'clamp': {'kind': 'identity'},
+                                  'output_classes': 10}},
+        'optimization': {'epochs': epochs,
+                         'optimizer': {'algorithm': 'sgd', 'lr': 0.1},
+                         'lr_scheduler': {'scheduler': 'step_lr',
+                                          'step_size': 1, 'gamma': 1.0}},
+        'log': {'level': 'WARNING', 'interval': 1000,
+                'save_model_freq': 1000, 'tensorboard': False,
+                'root_experiments_dir': str(tmp_path / 'experiments')},
+    }
+    platform = PodComputePlatform(
+        n_processes=2, timeout=300,
+        env={'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': '',
+             'XLA_FLAGS': '--xla_force_host_platform_device_count=2'})
+
+    def preempt_one(procs):
+        def fire():
+            time.sleep(6.0)  # past compile, far before epoch 400
+            procs[1].send_signal(signal.SIGTERM)
+        threading.Thread(target=fire, daemon=True).start()
+
+    platform.on_spawn = preempt_one
+    platform.run(Experiment(classification_task, cfg))  # must not raise
+
+    exp_dir = tmp_path / 'experiments' / 'podpre'
+    ckpt = get_path_to_checkpoint(exp_dir)  # the interrupt checkpoint
+    payload = restore_checkpoint(ckpt)
+    assert int(np.asarray(payload['epoch'])) < epochs - 1, \
+        'run completed without interruption - signal arrived too late'
