@@ -118,3 +118,28 @@ def test_global_batch_single_process_shards_over_data():
     assert len(arr.sharding.device_set) == mesh.shape['data'] * \
         mesh.shape['model'] or len(arr.sharding.device_set) == \
         mesh.shape['data']
+
+
+def test_collective_any_single_process_is_local():
+    from quant_tpu.parallel.multihost import collective_any
+    assert collective_any(True) is True
+    assert collective_any(False) is False
+
+
+def test_collective_any_multiprocess_allgathers():
+    from jax.experimental import multihost_utils
+
+    from quant_tpu.parallel import multihost
+
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(bool(x))
+        # Simulate a peer that raised the flag.
+        return np.array([bool(x), True])
+
+    with mock.patch.object(jax, 'process_count', return_value=2), \
+         mock.patch.object(multihost_utils, 'process_allgather',
+                           fake_allgather):
+        assert multihost.collective_any(False) is True
+    assert calls == [False]
