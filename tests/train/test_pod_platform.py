@@ -102,17 +102,68 @@ def test_pod_preemption_consensus_checkpoints_cleanly(tmp_path):
         env={'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': '',
              'XLA_FLAGS': '--xla_force_host_platform_device_count=2'})
 
+    exp_dir = tmp_path / 'experiments' / 'podpre'
+
     def preempt_one(procs):
         def fire():
-            time.sleep(6.0)  # past compile, far before epoch 400
+            # config.yaml is written by process 0 AFTER
+            # jax.distributed.initialize rendezvoused BOTH workers —
+            # i.e. after jax's SIGTERM notifier is installed in worker
+            # 1 (a signal before that would just kill it). Then allow
+            # a little training; epoch 400 is minutes away.
+            deadline = time.monotonic() + 240
+            while (not (exp_dir / 'config.yaml').exists()
+                   and time.monotonic() < deadline):
+                time.sleep(0.5)
+            time.sleep(4.0)
             procs[1].send_signal(signal.SIGTERM)
         threading.Thread(target=fire, daemon=True).start()
 
     platform.on_spawn = preempt_one
     platform.run(Experiment(classification_task, cfg))  # must not raise
 
-    exp_dir = tmp_path / 'experiments' / 'podpre'
     ckpt = get_path_to_checkpoint(exp_dir)  # the interrupt checkpoint
     payload = restore_checkpoint(ckpt)
     assert int(np.asarray(payload['epoch'])) < epochs - 1, \
         'run completed without interruption - signal arrived too late'
+
+
+def test_pod_platform_kills_gang_on_worker_failure(tmp_path):
+    # A worker that dies instantly (bogus platform) must fail the run
+    # promptly with the worker's exit code — not hang to the timeout —
+    # and leave no orphaned peers behind.
+    import time
+
+    cfg = {
+        'seed': 0, 'experiment_name': 'podfail',
+        'environment': {'platform': 'pod', 'nchips': 0},
+        'data': {'dataset': 'synthetic', 'train_batch_size': 8,
+                 'test_batch_size': 8, 'train_size': 16, 'test_size': 8,
+                 'image_shape': [28, 28, 1]},
+        'model': {'architecture': 'lenet5', 'loss': 'nll_loss',
+                  'arch_config': {'conv1_filters': 2, 'conv2_filters': 2,
+                                  'x_quant': 'fp', 'w_quant': 'fp',
+                                  'output_classes': 10}},
+        'optimization': {'epochs': 1,
+                         'optimizer': {'algorithm': 'sgd', 'lr': 0.1},
+                         'lr_scheduler': {'scheduler': 'step_lr',
+                                          'step_size': 1, 'gamma': 1.0}},
+        'log': {'level': 'WARNING', 'interval': 100, 'save_model_freq': 1,
+                'tensorboard': False,
+                'root_experiments_dir': str(tmp_path / 'experiments')},
+    }
+    platform = PodComputePlatform(
+        n_processes=2, timeout=120,
+        env={'JAX_PLATFORMS': 'no_such_backend',
+             'PALLAS_AXON_POOL_IPS': ''})
+    procs_seen = []
+    platform.on_spawn = procs_seen.extend
+    t0 = time.monotonic()
+    try:
+        platform.run(Experiment(classification_task, cfg))
+        raise AssertionError('expected RuntimeError')
+    except RuntimeError as e:
+        assert 'failed' in str(e)
+    assert time.monotonic() - t0 < 100  # failed fast, not at timeout
+    for p in procs_seen:
+        assert p.poll() is not None  # nobody left running
