@@ -173,13 +173,22 @@ def train_epoch(train_step: Callable, state: TrainState,
 def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
              epoch: int = 1,
              hooks: Optional[list[Hook]] = None,
-             assemble: Callable = jnp.asarray) -> dict[str, float]:
-    """Evaluate on a held-out set; returns computed metrics."""
+             assemble: Callable = jnp.asarray,
+             stop: Optional[Callable[[], bool]] = None) -> dict[str, float]:
+    """Evaluate on a held-out set; returns computed metrics.
+
+    stop: polled before each batch (see train_epoch) — a preemption
+    during a long eval should not delay the interrupt checkpoint.
+    """
     hooks = hooks or []
     metrics = MetricAccumulator()
     metric_state = metrics.state
     batch_idx = 0
     for batch_idx, (data, target) in enumerate(loader):
+        if stop is not None and stop():
+            logger.warning('Stop requested: ending eval at epoch %d '
+                           'after %d batches.', epoch, batch_idx)
+            break
         data = assemble(data)
         target = assemble(target)
         metric_state, _ = eval_step(state, data, target, metric_state)

@@ -311,7 +311,15 @@ def classification_task(
                     break
                 m_test = evaluate(eval_step, state, test_loader,
                                   epoch=epoch, hooks=test_hooks,
-                                  assemble=assemble)
+                                  assemble=assemble, stop=guard)
+                if guard.requested:
+                    # Interrupted during eval: this epoch's TRAINING
+                    # completed, so the payload resumes AFTER it.
+                    save_checkpoint(exp_dir / 'checkpoints',
+                                    _payload(epoch), epoch)
+                    logger.warning('Interrupt checkpoint written; '
+                                   'resume with --restore-experiment.')
+                    break
                 train_epoch_metrics.append(m_train)
                 test_epoch_metrics.append(m_test)
 
