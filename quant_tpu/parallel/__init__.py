@@ -12,6 +12,10 @@ from quant_tpu.parallel.mesh import make_mesh
 from quant_tpu.parallel.sharding import (
     batch_sharding, replicated, shard_model_variables,
 )
+from quant_tpu.parallel.spatial import (
+    halo_exchange_conv2d, halo_exchange_max_pool2d, spatial_sharding,
+)
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated',
-           'shard_model_variables']
+           'shard_model_variables', 'halo_exchange_conv2d',
+           'halo_exchange_max_pool2d', 'spatial_sharding']
