@@ -12,10 +12,14 @@ from quant_tpu.parallel.mesh import make_mesh
 from quant_tpu.parallel.sharding import (
     batch_sharding, replicated, shard_model_variables,
 )
+from quant_tpu.parallel.pipeline import (
+    pipeline_apply, stack_stage_params, stage_sharding,
+)
 from quant_tpu.parallel.spatial import (
     halo_exchange_conv2d, halo_exchange_max_pool2d, spatial_sharding,
 )
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated',
            'shard_model_variables', 'halo_exchange_conv2d',
-           'halo_exchange_max_pool2d', 'spatial_sharding']
+           'halo_exchange_max_pool2d', 'spatial_sharding',
+           'pipeline_apply', 'stack_stage_params', 'stage_sharding']
