@@ -179,12 +179,20 @@ class QResNet(nn.Module):
     pass_fusion: bool = True
     sign_compute: str = 'auto'
     stem_s2d: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         if self.block not in _BLOCKS:
             raise ValueError(f'Block {self.block} is not supported.')
         block_cls = _BLOCKS[self.block]
+        if self.remat and train:
+            # Per-block rematerialization (jax.checkpoint): the backward
+            # pass recomputes each block's activations instead of keeping
+            # them in HBM — peak activation memory drops from O(depth) to
+            # O(1 block), buying larger per-chip batches for ~1/3 extra
+            # forward FLOPs. YAML: arch_config.remat: true.
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
 
         dt = self.eval_dtype if not train else None
         if dt is not None:
