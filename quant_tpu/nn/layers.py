@@ -338,6 +338,15 @@ class QuantConv2d(nn.Module):
     # run at 1-bit speed; single-plane sides stay bit-exact, k>=2 sides
     # incur only bf16 input rounding. False = bit-exact multi-pass.
     pass_fusion: bool = True
+    # Optional reduced conv-operand dtype for TRAINING (e.g.
+    # jnp.bfloat16 / 'bfloat16'): the quantizer solves (sort/cumsum —
+    # precision-sensitive) stay f32, only the already-quantized conv
+    # operands sum_i v_i*b_i are cast, and accumulation stays f32
+    # (preferred_element_type). Signs survive the cast exactly; scales
+    # round to bf16 — extra quantization noise ~0.4%, within QAT's own
+    # regime. Pure-bf16 operands run the MXU at its full rate vs the
+    # f32 default's one-pass-bf16 lowering and halve operand HBM bytes.
+    train_dtype: Optional[Any] = None
     # Sign-plane conv operand dtype for the packed path: 'int8' (s32
     # accumulation, ~1.5x MXU rate where the toolchain lowers s8 convs,
     # always bit-exact, but loops distinct-scale plane pairs), 'bf16'
@@ -447,5 +456,16 @@ class QuantConv2d(nn.Module):
                 compute_dtype=(jnp.int8 if sign_compute == 'int8'
                                else None))
 
-        return conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
-                      groups=self.groups, bias=bias)
+        pet = jnp.float32
+        if train and self.train_dtype is not None:
+            # Cast only the already-quantized operands; the conv OUTPUT
+            # also stays train_dtype (the MXU still accumulates f32
+            # internally and rounds once) so the transposed convs of the
+            # backward pass see matching operand dtypes.
+            x_q = x_q.astype(self.train_dtype)
+            w_q = w_q.astype(self.train_dtype)
+            pet = self.train_dtype
+        out = conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
+                     groups=self.groups, bias=bias,
+                     preferred_element_type=pet)
+        return out.astype(jnp.float32)

@@ -34,6 +34,7 @@ class QLeNet5(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
 
@@ -60,6 +61,7 @@ class QLeNet5(nn.Module):
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode,
             eval_dtype=dt,
+            train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
             name='conv2',

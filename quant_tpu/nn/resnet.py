@@ -67,6 +67,7 @@ class RegularBasicBlock(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
 
@@ -81,6 +82,7 @@ class RegularBasicBlock(nn.Module):
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode, eval_dtype=dt,
+            train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
             use_bias=False, padding=1,
@@ -113,6 +115,7 @@ class XnorBasicBlock(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
 
@@ -127,6 +130,7 @@ class XnorBasicBlock(nn.Module):
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
             inference_mode=self.inference_mode, eval_dtype=dt,
+            train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
             use_bias=True, padding=1,
@@ -176,6 +180,7 @@ class QResNet(nn.Module):
     solver_mode: str = 'exact'
     inference_mode: str = 'dense'
     eval_dtype: Optional[Any] = None
+    train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
     stem_s2d: bool = False
@@ -228,6 +233,7 @@ class QResNet(nn.Module):
                 solver_mode=self.solver_mode,
                 inference_mode=self.inference_mode,
                 eval_dtype=self.eval_dtype,
+                train_dtype=self.train_dtype,
                 pass_fusion=self.pass_fusion,
                 sign_compute=self.sign_compute,
                 **cfg,  # e.g. double_shortcut for xnor blocks
