@@ -29,6 +29,9 @@ def main() -> None:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else BATCH
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else ITERS
+    # Optional 3rd arg: train_dtype (e.g. bfloat16) for the mixed-
+    # precision A/B (docs/API.md train_dtype).
+    train_dtype = sys.argv[3] if len(sys.argv) > 3 else None
 
     from bench import _resnet18
     from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
@@ -39,7 +42,9 @@ def main() -> None:
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
     y = jax.random.randint(key, (batch,), 0, 1000)
 
-    model = _resnet18('ls-1', 'ls-1')
+    model = _resnet18('ls-1', 'ls-1',
+                      **({'train_dtype': train_dtype} if train_dtype
+                         else {}))
     variables = model.init(key, x[:2], True)
     tx, _ = make_optimizer(
         {'optimizer': {'algorithm': 'adam', 'lr': 2e-4},
@@ -64,6 +69,7 @@ def main() -> None:
         'metric': 'resnet18_ls1_train_images_per_sec',
         'value': round(batch * iters / dt, 2),
         'batch': batch,
+        'train_dtype': train_dtype or 'float32',
         'unit': 'images/sec/chip',
         'compile_seconds': round(compile_s, 1),
     }))
