@@ -29,6 +29,10 @@ def main() -> None:
     parser.add_argument('--per-device-batch', type=int, default=64)
     parser.add_argument('--image-size', type=int, default=64)
     parser.add_argument('--tensor-parallel', type=int, default=1)
+    parser.add_argument('--spatial', type=int, default=0,
+                        help='also measure the GSPMD spatially-sharded '
+                             'forward (H banded over this many devices; '
+                             'the large-image / low-latency serving axis)')
     parser.add_argument('--iters', type=int, default=8)
     args = parser.parse_args()
 
@@ -75,6 +79,42 @@ def main() -> None:
             'data_parallel': dp,
             'tensor_parallel': tp,
             'devices': dp * tp,
+            'global_batch': batch,
+            'images_per_sec': round(batch * args.iters / dt, 2),
+        }), flush=True)
+
+    if args.spatial:
+        # Spatial axis: ONE per-device batch, H banded over the mesh —
+        # the scaling axis for images too large for one chip (or
+        # latency-critical small batches). GSPMD inserts the halo
+        # exchanges (quant_tpu/parallel/spatial.py).
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        import numpy as np
+        from quant_tpu.parallel import spatial_sharding
+        sp = args.spatial
+        sp_mesh = Mesh(np.asarray(jax.devices()[:sp]), ('space',))
+        batch = args.per_device_batch
+        x = jax.device_put(
+            jnp.ones((batch, args.image_size, args.image_size, 3),
+                     jnp.float32), spatial_sharding(sp_mesh))
+        v_rep = jax.device_put(variables, NamedSharding(sp_mesh, P()))
+
+        @jax.jit
+        def sp_step(v, t):
+            out = packed.apply(v, t, False)
+            return t + 1e-12 * jnp.mean(out).astype(t.dtype)
+
+        y = sp_step(v_rep, x)
+        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            y = sp_step(v_rep, y)
+        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            'metric': 'packed_infer_scaling',
+            'spatial': sp,
+            'devices': sp,
             'global_batch': batch,
             'images_per_sec': round(batch * args.iters / dt, 2),
         }), flush=True)
