@@ -35,20 +35,29 @@ class InferenceEngine:
                  input_shape: Sequence[int],
                  max_batch: int = 64,
                  batch_buckets: Optional[Sequence[int]] = None,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 input_sharding: Optional[jax.sharding.Sharding] = None):
         """
         Args:
             apply_fn: model.apply of an eval-ready (e.g. packed) model;
                 called as apply_fn(variables, x, False).
             variables: trained model variables (with quant_state caches).
+                May be pre-placed with mesh shardings (TP out-channel
+                shards, spatial-replicated) — the jit keeps them.
             input_shape: per-example shape, e.g. (224, 224, 3).
             max_batch: largest compiled batch size.
             batch_buckets: ascending compiled batch sizes (default
                 powers-of-two up to max_batch).
             max_wait_ms: batching window after the first pending request.
+            input_sharding: optional sharding for the batched input,
+                e.g. `spatial_sharding(mesh)` to band the image height
+                across devices (parallel/spatial.py) — the low-latency /
+                large-image serving axis; GSPMD inserts the halo
+                exchanges.
         """
         self.apply_fn = apply_fn
         self.variables = variables
+        self.input_sharding = input_sharding
         self.input_shape = tuple(input_shape)
         self.max_batch = max_batch
         # max_batch is always a bucket so _bucket_for(n) can hold any
@@ -117,7 +126,10 @@ class InferenceEngine:
         with self._lock:
             fn = self._compiled.get(bucket)
             if fn is None:
-                fn = jax.jit(lambda v, x: self.apply_fn(v, x, False))
+                kwargs = ({'in_shardings': (None, self.input_sharding)}
+                          if self.input_sharding is not None else {})
+                fn = jax.jit(lambda v, x: self.apply_fn(v, x, False),
+                             **kwargs)
                 self._compiled[bucket] = fn
         return jax.device_get(fn(self.variables, jnp.asarray(batch)))
 
