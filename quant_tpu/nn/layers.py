@@ -340,12 +340,15 @@ class QuantConv2d(nn.Module):
     pass_fusion: bool = True
     # Optional reduced conv-operand dtype for TRAINING (e.g.
     # jnp.bfloat16 / 'bfloat16'): the quantizer solves (sort/cumsum —
-    # precision-sensitive) stay f32, only the already-quantized conv
-    # operands sum_i v_i*b_i are cast, and accumulation stays f32
-    # (preferred_element_type). Signs survive the cast exactly; scales
-    # round to bf16 — extra quantization noise ~0.4%, within QAT's own
-    # regime. Pure-bf16 operands run the MXU at its full rate vs the
-    # f32 default's one-pass-bf16 lowering and halve operand HBM bytes.
+    # precision-sensitive) stay f32; the already-quantized conv
+    # operands sum_i v_i*b_i AND the conv output are train_dtype (so
+    # the backward pass's transposed convs see matching dtypes). On
+    # TPU the MXU accumulates f32 internally and rounds the output
+    # once; other backends may accumulate in the reduced dtype. Signs
+    # survive the cast exactly; scales round to bf16 — extra noise
+    # ~0.4%, within QAT's own regime. Pure-bf16 operands run the MXU
+    # at full rate vs the f32 default's one-pass-bf16 lowering and
+    # halve operand HBM bytes.
     train_dtype: Optional[Any] = None
     # Sign-plane conv operand dtype for the packed path: 'int8' (s32
     # accumulation, ~1.5x MXU rate where the toolchain lowers s8 convs,
@@ -458,9 +461,9 @@ class QuantConv2d(nn.Module):
 
         pet = jnp.float32
         if train and self.train_dtype is not None:
-            # Cast only the already-quantized operands; the conv OUTPUT
-            # also stays train_dtype (the MXU still accumulates f32
-            # internally and rounds once) so the transposed convs of the
+            # Cast only the already-quantized operands; the conv output
+            # is train_dtype too (TPU MXU: f32 internal accumulation,
+            # one output rounding) so the transposed convs of the
             # backward pass see matching operand dtypes.
             x_q = x_q.astype(self.train_dtype)
             w_q = w_q.astype(self.train_dtype)

@@ -29,7 +29,7 @@ same bubble.
 """
 
 from functools import partial
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,8 @@ def stack_stage_params(per_stage: list) -> Any:
 
 def pipeline_apply(stage_fn: StageFn, stage_params: Any,
                    microbatches: jax.Array, *, mesh: Mesh,
-                   axis: str = 'pipe') -> jax.Array:
+                   axis: str = 'pipe',
+                   batch_axis: Optional[str] = None) -> jax.Array:
     """Run microbatches through a stage-sharded pipeline.
 
     Args:
@@ -59,18 +60,23 @@ def pipeline_apply(stage_fn: StageFn, stage_params: Any,
             x.shape`` and same dtype (homogeneity contract above).
         stage_params: pytree whose leaves have leading dim S (one slice
             per stage), sharded over `axis` (see `stage_sharding`).
-        microbatches: (M, mb, ...) stacked microbatch inputs, replicated.
+        microbatches: (M, mb, ...) stacked microbatch inputs. With
+            `batch_axis` the mb dim shards over that mesh axis (true
+            dp x pp composition: each data row pipelines its own rows);
+            otherwise replicated.
         mesh: mesh containing `axis` of size S.
 
     Returns:
-        (M, mb, ...) outputs after all S stages, replicated over `axis`.
+        (M, mb, ...) outputs after all S stages, replicated over `axis`
+        (and mb-sharded over `batch_axis` when given).
     """
     s = mesh.shape[axis]
     m = microbatches.shape[0]
     ticks = m + s - 1
+    mb_spec = P(None, batch_axis)
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(axis), P()), out_specs=P())
+             in_specs=(P(axis), mb_spec), out_specs=mb_spec)
     def schedule(params_loc, mb_all):
         # params_loc: leading dim 1 (this device's stage) -> squeeze.
         params = jax.tree.map(lambda v: v[0], params_loc)
@@ -98,8 +104,12 @@ def pipeline_apply(stage_fn: StageFn, stage_params: Any,
 
         outbuf0 = jnp.zeros((m,) + mb_all.shape[1:], mb_all.dtype)
         # The carry is device-varying over the pipe axis (each stage
-        # holds different activations); mark the replicated zeros so.
-        carry0 = lax.pcast((zero, outbuf0), (axis,), to='varying')
+        # holds different activations) and, when the mb dim is sharded,
+        # over the batch axis too. `zero` already inherits the batch
+        # varying-ness from mb_all; the fresh outbuf zeros inherit none.
+        vary = (axis,) + ((batch_axis,) if batch_axis else ())
+        carry0 = (lax.pcast(zero, (axis,), to='varying'),
+                  lax.pcast(outbuf0, vary, to='varying'))
         (_, outbuf), _ = lax.scan(tick, carry0, jnp.arange(ticks))
         # Only the last stage holds real outputs; psum replicates them
         # (every other contribution is the zero buffer).
@@ -109,15 +119,3 @@ def pipeline_apply(stage_fn: StageFn, stage_params: Any,
     return schedule(stage_params, microbatches)
 
 
-def pipeline_loss(stage_fn: StageFn, loss_fn: Callable[[jax.Array], jax.Array]
-                  ) -> Callable[[Any, jax.Array, Mesh], jax.Array]:
-    """Compose `pipeline_apply` with a scalar loss over all microbatches.
-
-    Returns ``fn(stage_params, microbatches, mesh)`` suitable for
-    `jax.grad` — the backward pass is the transposed (reverse) pipeline.
-    """
-    def fn(stage_params, microbatches, mesh, axis='pipe'):
-        out = pipeline_apply(stage_fn, stage_params, microbatches,
-                             mesh=mesh, axis=axis)
-        return loss_fn(out)
-    return fn

@@ -114,8 +114,9 @@ def test_quantized_stage(rng):
 
 
 def test_jit_and_composes_with_data_axis(rng):
-    """Pipeline under jit on a ('data','pipe') mesh: batch-sharded
-    microbatches flow through stage shards without resharding."""
+    """Pipeline under jit on a ('data','pipe') mesh with batch_axis:
+    each data row pipelines only its own mb-shard (true dp x pp), and
+    the output keeps the mb dim sharded over 'data'."""
     if len(jax.devices()) < 8:
         pytest.skip('needs 8 virtual devices')
     devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
@@ -125,9 +126,11 @@ def test_jit_and_composes_with_data_axis(rng):
 
     @jax.jit
     def run(p, x):
-        return pipeline_apply(_mlp_stage, p, x, mesh=mesh, axis='pipe')
+        return pipeline_apply(_mlp_stage, p, x, mesh=mesh, axis='pipe',
+                              batch_axis='data')
 
     out = run(stacked, mb)
     ref = jax.vmap(lambda x: _sequential(_mlp_stage, stacked, x))(mb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    assert out.sharding.spec[1] == 'data'

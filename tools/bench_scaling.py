@@ -54,6 +54,26 @@ def main() -> None:
     variables['quant_state'] = jax.tree.map(
         lambda v: jnp.full_like(v, 0.5), variables.get('quant_state', {}))
 
+    def measure(v, x, batch, **row):
+        # Chained-carry timing (see bench.py: no block_until_ready on
+        # this platform; one scalar device_get at the end).
+        @jax.jit
+        def step(v, t):
+            out = packed.apply(v, t, False)
+            return t + 1e-12 * jnp.mean(out).astype(t.dtype)
+
+        y = step(v, x)
+        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            y = step(v, y)
+        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            'metric': 'packed_infer_scaling', 'global_batch': batch,
+            'images_per_sec': round(batch * args.iters / dt, 2), **row,
+        }), flush=True)
+
     for dp in widths:
         mesh = make_mesh(data=dp, model=tp,
                          devices=jax.devices()[:dp * tp])
@@ -61,27 +81,8 @@ def main() -> None:
         x = jax.device_put(
             jnp.ones((batch, args.image_size, args.image_size, 3),
                      jnp.float32), batch_sharding(mesh))
-
-        @jax.jit
-        def step(v, t):
-            out = packed.apply(v, t, False)
-            return t + 1e-12 * jnp.mean(out).astype(t.dtype)
-
-        y = step(variables, x)
-        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            y = step(variables, y)
-        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            'metric': 'packed_infer_scaling',
-            'data_parallel': dp,
-            'tensor_parallel': tp,
-            'devices': dp * tp,
-            'global_batch': batch,
-            'images_per_sec': round(batch * args.iters / dt, 2),
-        }), flush=True)
+        measure(variables, x, batch, data_parallel=dp, tensor_parallel=tp,
+                devices=dp * tp)
 
     if args.spatial:
         # Spatial axis: ONE per-device batch, H banded over the mesh —
@@ -98,26 +99,7 @@ def main() -> None:
             jnp.ones((batch, args.image_size, args.image_size, 3),
                      jnp.float32), spatial_sharding(sp_mesh))
         v_rep = jax.device_put(variables, NamedSharding(sp_mesh, P()))
-
-        @jax.jit
-        def sp_step(v, t):
-            out = packed.apply(v, t, False)
-            return t + 1e-12 * jnp.mean(out).astype(t.dtype)
-
-        y = sp_step(v_rep, x)
-        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            y = sp_step(v_rep, y)
-        _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-        dt = time.perf_counter() - t0
-        print(json.dumps({
-            'metric': 'packed_infer_scaling',
-            'spatial': sp,
-            'devices': sp,
-            'global_batch': batch,
-            'images_per_sec': round(batch * args.iters / dt, 2),
-        }), flush=True)
+        measure(v_rep, x, batch, spatial=sp, devices=sp)
 
 
 if __name__ == '__main__':
