@@ -77,6 +77,27 @@ def test_bf16_model_grads_finite_and_f32(rng):
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_composes_with_remat(rng):
+    """remat + train_dtype together (the TPU recipe config enables
+    both): grads finite, f32, same pytree as the plain model."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    plain = QResNet(**_KW)
+    both = QResNet(**_KW, remat=True, train_dtype='bfloat16')
+    variables = plain.init(jax.random.key(0), x, True)
+
+    def loss(params):
+        out, _ = both.apply({**variables, 'params': params}, x, True,
+                            mutable=['quant_state', 'batch_stats'])
+        return jnp.mean(out ** 2)
+
+    grads = jax.grad(loss)(variables['params'])
+    assert (jax.tree.structure(grads)
+            == jax.tree.structure(variables['params']))
+    for v in jax.tree.leaves(grads):
+        assert v.dtype == jnp.float32
+        assert np.isfinite(np.asarray(v)).all()
+
+
 def test_bf16_lenet_learns_synthetic_task():
     """The mixed-precision model must learn like the f32 one (the real
     acceptance criterion — whole-model logit parity is not expected)."""
