@@ -18,6 +18,24 @@ def test_visualizer_respects_log_interval(tmp_path):
     vis.close()
 
 
+def test_visualizer_logs_metric_accumulators(tmp_path):
+    """The metrics branch: each accumulator's compute() dict is logged
+    under '<name>/<key>'; per-epoch mode ignores log_interval."""
+    class FakeAcc:
+        def compute(self):
+            return {'Loss': 1.5, 'Top-1 Accuracy': 0.5}
+
+    vis = Visualizer(tmp_path / 'tb', metrics={'test': FakeAcc()},
+                     every_n_steps=False)
+    calls = []
+    if vis.writer is not None:
+        vis.writer.add_scalar = lambda *a, **k: calls.append(a)
+        vis.hook(epoch=3, global_step=999)
+        assert ('test/Loss', 1.5, 3) in calls
+        assert ('test/Top-1 Accuracy', 0.5, 3) in calls
+    vis.close()
+
+
 def test_get_tensorboard_hooks_disabled(tmp_path):
     config = {'log': {'tensorboard': False},
               'experiment_name': 'x'}
