@@ -88,3 +88,25 @@ def test_resnet_bad_block_raises():
     model = _resnet().clone(block='bogus')
     with pytest.raises(ValueError):
         model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), True)
+
+
+def test_resnet34_depth_builds_and_forwards():
+    """Deeper family member (ResNet-34 block plan [3,4,6,3]) — the
+    num_blocks knob generalizes past ResNet-18 (reference
+    resnet.py:342-391 builds arbitrary per-stage depths)."""
+    layer = dict(CIFAR_LAYER)
+    model = QResNet(
+        block='xnor',
+        layer0={'n_in_channels': 16, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=dict(layer), nonlins=['relu', 'relu'],
+        num_blocks=[3, 4, 6, 3], output_classes=10)
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, True)
+    n_blocks = sum(1 for k in variables['params'] if '_block' in k)
+    assert n_blocks == 16  # 3+4+6+3
+    out, _ = model.apply(variables, x, True,
+                         mutable=['quant_state', 'batch_stats'])
+    assert out.shape == (2, 10)
