@@ -72,6 +72,16 @@ def pipeline_apply(stage_fn: StageFn, stage_params: Any,
     """
     s = mesh.shape[axis]
     m = microbatches.shape[0]
+    leading = {leaf.shape[0] if leaf.ndim else None
+               for leaf in jax.tree.leaves(stage_params)}
+    if leading != {s}:
+        raise ValueError(
+            f'stage_params leaves must all have leading dim {s} '
+            f'(= mesh.shape[{axis!r}], one slice per stage); got leading '
+            f'dims {sorted(leading, key=str)}. A leading dim of k*{s} would '
+            'silently give each device k stages and drop all but the first.')
+    if m < 1:
+        raise ValueError('microbatches must have leading dim M >= 1')
     ticks = m + s - 1
     mb_spec = P(None, batch_axis)
 
@@ -85,9 +95,12 @@ def pipeline_apply(stage_fn: StageFn, stage_params: Any,
 
         def tick(carry, t):
             incoming, outbuf = carry
-            # Stage 0 ingests microbatch t while it exists; other
-            # stages consume what arrived over the ring last tick.
-            feed = mb_all[jnp.minimum(t, m - 1)]
+            # Stage 0 ingests microbatch t while it exists; during the
+            # S-1 drain ticks it chews zeros instead. (SPMD scans run
+            # every stage every tick, so drain-tick compute on stage 0
+            # happens regardless and is discarded by construction —
+            # zeros just make the discard explicit.)
+            feed = jnp.where(t < m, mb_all[jnp.minimum(t, m - 1)], zero)
             x = jnp.where(d == 0, feed, incoming)
             y = stage_fn(params, x)
             # Last stage banks its finished microbatch (index t-(S-1)).

@@ -113,6 +113,21 @@ def test_quantized_stage(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stage_count_mismatch_raises(rng):
+    """A leading dim of k*S (or S/k) must raise, not silently give each
+    device k stage slices and drop all but the first (ADVICE round 2)."""
+    mesh = _pipe_mesh(2)
+    mb = jnp.asarray(rng.standard_normal((4, 2, 4)), jnp.float32)
+    for s_bad in (4, 1):
+        stacked = _random_stages(rng, s_bad, 4)
+        with pytest.raises(ValueError, match='leading dim'):
+            pipeline_apply(_mlp_stage, stacked, mb, mesh=mesh)
+    # Ragged leading dims across leaves are equally invalid.
+    ragged = {'w': jnp.zeros((2, 4, 4)), 'b': jnp.zeros((3, 4))}
+    with pytest.raises(ValueError, match='leading dim'):
+        pipeline_apply(_mlp_stage, ragged, mb, mesh=mesh)
+
+
 def test_jit_and_composes_with_data_axis(rng):
     """Pipeline under jit on a ('data','pipe') mesh with batch_axis:
     each data row pipelines only its own mb-shard (true dp x pp), and
