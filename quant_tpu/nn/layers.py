@@ -338,17 +338,18 @@ class QuantConv2d(nn.Module):
     # run at 1-bit speed; single-plane sides stay bit-exact, k>=2 sides
     # incur only bf16 input rounding. False = bit-exact multi-pass.
     pass_fusion: bool = True
-    # Optional reduced conv-operand dtype for TRAINING (e.g.
-    # jnp.bfloat16 / 'bfloat16'): the quantizer solves (sort/cumsum —
-    # precision-sensitive) stay f32; the already-quantized conv
-    # operands sum_i v_i*b_i AND the conv output are train_dtype (so
-    # the backward pass's transposed convs see matching dtypes). On
-    # TPU the MXU accumulates f32 internally and rounds the output
-    # once; other backends may accumulate in the reduced dtype. Signs
-    # survive the cast exactly; scales round to bf16 — extra noise
-    # ~0.4%, within QAT's own regime. Pure-bf16 operands run the MXU
-    # at full rate vs the f32 default's one-pass-bf16 lowering and
-    # halve operand HBM bytes.
+    # Optional mixed-precision TRAINING dtype (e.g. jnp.bfloat16 /
+    # 'bfloat16'). The quantizer scale solves (sort/cumsum —
+    # precision-sensitive) ALWAYS run f32 (ops/quantize.py upcasts);
+    # the already-quantized conv operands sum_i v_i*b_i AND the conv
+    # output are train_dtype, and the models (QResNet/QLeNet5) extend
+    # the same dtype to the whole inter-conv chain — BN, nonlins,
+    # shortcuts, stem, head — the standard AMP recipe (BN statistics
+    # are still computed in f32 by flax; params, grads, optimizer
+    # state and the loss stay f32). On TPU the MXU accumulates f32
+    # internally and rounds the output once. Signs survive the cast
+    # exactly; scales round to bf16 — extra noise ~0.4%, within QAT's
+    # own regime. Halves feature-map/operand HBM bytes end-to-end.
     train_dtype: Optional[Any] = None
     # Sign-plane conv operand dtype for the packed path: 'int8' (s32
     # accumulation, ~1.5x MXU rate where the toolchain lowers s8 convs,
@@ -461,13 +462,21 @@ class QuantConv2d(nn.Module):
 
         pet = jnp.float32
         if train and self.train_dtype is not None:
-            # Cast only the already-quantized operands; the conv output
-            # is train_dtype too (TPU MXU: f32 internal accumulation,
-            # one output rounding) so the transposed convs of the
-            # backward pass see matching operand dtypes.
+            # Cast the already-quantized operands (signs survive exactly;
+            # scales round once); the conv output STAYS train_dtype (TPU
+            # MXU: f32 internal accumulation, one output rounding) so the
+            # whole inter-conv chain — BN, nonlins, shortcuts — runs at
+            # reduced precision when the model passes train_dtype down,
+            # and the backward pass's transposed convs see matching
+            # operand dtypes.
             x_q = x_q.astype(self.train_dtype)
             w_q = w_q.astype(self.train_dtype)
             pet = self.train_dtype
+            if bias is not None:
+                bias = bias.astype(pet)
+            return conv2d(x_q, w_q, stride=self.stride,
+                          padding=self.padding, groups=self.groups,
+                          bias=bias, preferred_element_type=pet)
         out = conv2d(x_q, w_q, stride=self.stride, padding=self.padding,
                      groups=self.groups, bias=bias,
                      preferred_element_type=pet)

@@ -40,7 +40,7 @@ class QLeNet5(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        dt = self.eval_dtype if not train else None
+        dt = self.eval_dtype if not train else self.train_dtype
         if dt is not None:
             x = x.astype(dt)
         # First layer full precision (reference lenet.py:80-83).

@@ -75,7 +75,7 @@ class RegularBasicBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
-        dt = self.eval_dtype if not train else None
+        dt = self.eval_dtype if not train else self.train_dtype
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
@@ -123,7 +123,7 @@ class XnorBasicBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
-        dt = self.eval_dtype if not train else None
+        dt = self.eval_dtype if not train else self.train_dtype
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
@@ -199,7 +199,7 @@ class QResNet(nn.Module):
             # forward FLOPs. YAML: arch_config.remat: true.
             block_cls = nn.remat(block_cls, static_argnums=(2,))
 
-        dt = self.eval_dtype if not train else None
+        dt = self.eval_dtype if not train else self.train_dtype
         if dt is not None:
             x = x.astype(dt)
         width = self.layer0['n_in_channels']

@@ -9,6 +9,11 @@ apple/ml-quant), re-expressed as pure jittable functions:
 * Scale computations are wrapped in `stop_gradient` (the reference computes
   them from detached clones); the quantized output is differentiable w.r.t.
   x through the STE `binarize`.
+* Scale solves always run in float32 (reductions/sorts on a reduced-dtype
+  x are upcast first), while the quantized output x_q keeps x's dtype —
+  so bf16 mixed-precision chains (eval_dtype / train_dtype) stay bf16
+  end-to-end without losing solver precision. Returned scale stacks are
+  float32 (they live in f32 'quant_state' buffers).
 * Each quantizer returns `(scales, x_q)` where `scales` is a (k, rows)
   array stacking v_1..v_k — the explicit functional replacement for the
   reference's stateful buffer caching, threaded through layer state by
@@ -50,9 +55,16 @@ def _rows(x: jax.Array) -> jax.Array:
     return x.reshape(x.shape[0], -1)
 
 
+def _rows32(x: jax.Array) -> jax.Array:
+    """Detached f32 row view — the solver operand (solves stay f32 even
+    when the surrounding chain runs bf16)."""
+    return jax.lax.stop_gradient(_rows(x)).astype(jnp.float32)
+
+
 def _per_row(v: jax.Array, x: jax.Array) -> jax.Array:
-    """Broadcast a (rows,) scale vector against x's trailing dims."""
-    return v.reshape((-1,) + (1,) * (x.ndim - 1))
+    """Broadcast a (rows,) scale vector against x's trailing dims,
+    cast to x's dtype (keeps reduced-precision chains closed)."""
+    return v.reshape((-1,) + (1,) * (x.ndim - 1)).astype(x.dtype)
 
 
 def quantizer_ls_1(x: jax.Array,
@@ -64,7 +76,7 @@ def quantizer_ls_1(x: jax.Array,
     Returns ((1, rows) scales, v1 * binarize(x)).
     """
     if v1 is None:
-        v1 = jax.lax.stop_gradient(jnp.mean(jnp.abs(_rows(x)), axis=-1))
+        v1 = jnp.mean(jnp.abs(_rows32(x)), axis=-1)
     v1 = v1.reshape(-1)
     return v1[None, :], _per_row(v1, x) * binarize(x)
 
@@ -79,8 +91,8 @@ def quantizer_ls_2(x: jax.Array,
     absolute residual (reference quantization.py:59-92). `vs` optionally
     supplies cached scales stacked as (2, rows).
     """
-    xd = jax.lax.stop_gradient(_rows(x))
     if vs is None:
+        xd = _rows32(x)
         v1 = opt_v1(xd, ternary=False, skip=skip, mode=mode)
         residual = xd - v1[:, None] * binary_sign(xd)
         v2 = jnp.mean(jnp.abs(residual), axis=-1)
@@ -102,9 +114,8 @@ def quantizer_ls_ternary(x: jax.Array,
     The two passes share one scale (v2 = v1), so values fall in
     {-2v1, 0, +2v1} (reference quantization.py:95-115).
     """
-    xd = jax.lax.stop_gradient(_rows(x))
     if vs is None:
-        v1 = opt_v1(xd, ternary=True, skip=skip, mode=mode)
+        v1 = opt_v1(_rows32(x), ternary=True, skip=skip, mode=mode)
     else:
         v1 = vs[0].reshape(-1)
 
@@ -123,7 +134,7 @@ def quantizer_gf(x: jax.Array, k: int,
     detached residual (binary_sign); the value recursion accumulates
     binarize(x - result) so STE gradients flow through every pass.
     """
-    residual = jax.lax.stop_gradient(_rows(x))
+    residual = _rows32(x)
     result = jnp.zeros_like(x)
     saved = []
     for i in range(k):

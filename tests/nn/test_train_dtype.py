@@ -1,12 +1,14 @@
 """Mixed-precision training (arch_config.train_dtype = bfloat16).
 
-Contract: only the already-quantized conv operands (and the conv output,
-re-rounded once from the f32 MXU accumulator) are cast — the quantizer
-scale solves see the f32 input and stay bit-identical, params stay f32,
-layer outputs upcast to f32. Single-layer outputs match the f32 path to
-bf16 rounding; whole-model parity is NOT asserted (binarize() downstream
-of a rounded feature map legitimately flips near-zero signs), instead the
-model must LEARN in bf16 like it does in f32.
+Contract (full AMP): the whole training forward chain — quantized conv
+operands and outputs, BN, nonlins, shortcuts, stem, head — runs in
+train_dtype; the quantizer scale solves ALWAYS run f32 (ops/quantize.py
+upcasts internally), BN statistics are computed in f32 (flax), and
+params / grads / optimizer state / loss stay f32. Single-layer outputs
+match the f32 path to bf16 rounding and the scale solves stay
+bit-identical on f32 inputs; whole-model parity is NOT asserted
+(binarize() downstream of a rounded feature map legitimately flips
+near-zero signs), instead the model must LEARN in bf16 like in f32.
 """
 
 import jax
@@ -36,14 +38,17 @@ def test_single_layer_scales_exact_output_bf16_close(rng):
     variables = f32.init(jax.random.key(0), x, True)
     out0, mut0 = f32.apply(variables, x, True, mutable=['quant_state'])
     out1, mut1 = bf16.apply(variables, x, True, mutable=['quant_state'])
-    assert out1.dtype == jnp.float32
-    # The scale solves run BEFORE the cast: bit-identical.
+    # The chain stays in train_dtype (the downstream BN/nonlin consume
+    # it at reduced precision; the model upcasts only at the loss).
+    assert out1.dtype == jnp.bfloat16
+    # The scale solves run in f32 on the unrounded input: bit-identical.
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(
         np.asarray(a), np.asarray(b)),
         mut0['quant_state'], mut1['quant_state'])
     # One layer deviates only by bf16 operand/output rounding.
     scale = float(jnp.max(jnp.abs(out0)))
-    np.testing.assert_allclose(np.asarray(out1), np.asarray(out0),
+    np.testing.assert_allclose(np.asarray(out1, np.float32),
+                               np.asarray(out0),
                                atol=0.02 * scale, rtol=0.02)
 
 
@@ -59,6 +64,25 @@ def test_eval_path_unaffected(rng):
     np.testing.assert_array_equal(
         np.asarray(f32.apply(variables, x, False)),
         np.asarray(bf16.apply(variables, x, False)))
+
+
+def test_chain_runs_bf16(rng):
+    """The inter-conv chain (block outputs, logits input) runs in
+    train_dtype — the AMP contract, and the source of the HBM win."""
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    model = QResNet(**_KW, train_dtype='bfloat16')
+    variables = model.init(jax.random.key(0), x, True)
+    out, state = model.apply(variables, x, True,
+                             mutable=['quant_state', 'batch_stats'],
+                             capture_intermediates=True)
+    assert out.dtype == jnp.float32  # loss-side logits stay f32
+    inter = state['intermediates']
+    for name in ('layer1_block0', 'layer4_block0', 'conv1', 'fc'):
+        y = jax.tree.leaves(inter[name]['__call__'])[0]
+        assert y.dtype == jnp.bfloat16, (name, y.dtype)
+    # Scale state stays f32 (solves are upcast inside the quantizers).
+    for leaf in jax.tree.leaves(state['quant_state']):
+        assert leaf.dtype in (jnp.float32, jnp.int32)
 
 
 def test_bf16_model_grads_finite_and_f32(rng):
