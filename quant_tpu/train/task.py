@@ -105,8 +105,19 @@ def get_teacher_apply(kd_config: dict, sample_input: object,
     with open(kd_config['teacher_config_path']) as f:
         teacher_model_config = yaml.safe_load(f)['model']
 
-    teacher = build_model(teacher_model_config['architecture'],
-                          teacher_model_config.get('arch_config', {}))
+    arch_config = dict(teacher_model_config.get('arch_config', {}))
+    teacher_dtype = kd_config.get('teacher_dtype')
+    if teacher_dtype is not None:
+        # kd_config.teacher_dtype (e.g. bfloat16): run the frozen
+        # teacher's forward chain at reduced precision inside the KD
+        # step — its logits feed a temperature softmax, so bf16 is
+        # ample, and the teacher is ~half the forward bytes of a KD
+        # step. Both knobs are set because train_mode teachers take
+        # the train-path chain (train_dtype) and eval-mode teachers
+        # the eval path (eval_dtype); models return f32 logits.
+        arch_config['eval_dtype'] = teacher_dtype
+        arch_config['train_dtype'] = teacher_dtype
+    teacher = build_model(teacher_model_config['architecture'], arch_config)
     variables = init_model_variables(teacher, sample_input, seed)
     payload = restore_checkpoint(
         Path(kd_config['teacher_checkpoint_path']))

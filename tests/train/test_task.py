@@ -95,3 +95,14 @@ def test_full_chain(exp_root):
     train_m5, test_m5 = Experiment(classification_task, cfg5).run()
     assert np.isfinite(train_m5[0]['Loss'])
     assert np.isfinite(test_m5[0]['Loss'])
+
+    # 6. Same KD student with a bf16 teacher forward
+    # (kd_config.teacher_dtype): must train to a finite loss in the
+    # same ballpark as the f32-teacher run.
+    cfg6 = copy.deepcopy(cfg5)
+    cfg6['experiment_name'] = 'student_bf16_teacher'
+    cfg6['model']['kd_config']['teacher_dtype'] = 'bfloat16'
+    train_m6, test_m6 = Experiment(classification_task, cfg6).run()
+    assert np.isfinite(train_m6[0]['Loss'])
+    assert abs(train_m6[0]['Loss'] - train_m5[0]['Loss']) < 0.5 * max(
+        1.0, abs(train_m5[0]['Loss']))
