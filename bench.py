@@ -106,6 +106,35 @@ def _throughput(apply_fn, variables, x) -> float:
     return x.shape[0] * UNROLL * ITERS / dt
 
 
+def _train_throughput(key, batch: int = 256, iters: int = 8) -> float:
+    """Full QAT train step rate (ls-1/ls-1, full-AMP train_dtype=bf16,
+    the recommended TPU recipe): fwd + on-device LS scale solves + STE
+    bwd + adam + metrics, steps serialized through the state carry."""
+    from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
+                                 make_train_step)
+    from quant_tpu.train.metrics import init_metric_state
+
+    x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
+    y = jax.random.randint(key, (batch,), 0, 1000)
+    model = _resnet18('ls-1', 'ls-1', train_dtype='bfloat16')
+    variables = model.init(key, x[:2], True)
+    tx, _ = make_optimizer(
+        {'optimizer': {'algorithm': 'adam', 'lr': 2e-4},
+         'lr_scheduler': {'scheduler': 'step_lr', 'step_size': 10 ** 6,
+                          'gamma': 1.0}},
+        epochs=1, steps_per_epoch=1000)
+    state = TrainState.create(model.apply, variables, tx)
+    step = make_train_step(get_loss_fn('cross_entropy'), donate=False)
+
+    state, ms, loss = step(state, x, y, init_metric_state())
+    _ = jax.device_get(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, ms, loss = step(state, x, y, ms)
+    _ = jax.device_get(loss)
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main() -> None:
     key = jax.random.key(0)
     x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
@@ -141,6 +170,8 @@ def main() -> None:
     with jax.default_matmul_precision('highest'):
         ips_fp = _throughput(fp.apply, vf, x)
 
+    ips_train = _train_throughput(key)
+
     def mfu(ips: float) -> float:
         return ips * RESNET18_GFLOPS / (PEAK_BF16_TFLOPS * 1e3)
 
@@ -156,6 +187,7 @@ def main() -> None:
             'mfu_binary': round(mfu(ips_binary), 4),
             'mfu_ls2': round(mfu(ips_ls2), 4),
             'peak_bf16_tflops': PEAK_BF16_TFLOPS,
+            'train_ls1_amp_images_per_sec': round(ips_train, 2),
         },
     }))
 

@@ -24,6 +24,27 @@ Two modes:
   mean/2 (optimal.py:86-118), and rows with no candidate fall back to v=0
   (the reference's zero-padding of its ragged candidate list).
 
+* ``mode='lloyd'``: SORT-FREE fixed-point solve — the TPU-fast training
+  mode. Observation: the 2-bit LS problem is exactly 1-D 2-means on the
+  magnitudes (quantized values ±v1±v2 have magnitudes c1 = |v1 - v2| and
+  c2 = v1 + v2; any center pair maps back via v1 = (c1+c2)/2,
+  v2 = (c2-c1)/2, and the assignment threshold (c1+c2)/2 IS v1).
+  Ternary is the c1 = 0 special case (centers {0, 2*v1}, threshold v1).
+  Lloyd iterations are two masked means per step — pure elementwise +
+  reductions, no sort, no O(M) candidate sweep — and converge in a
+  handful of steps from the ls-1 mean init. On 200k-element activation
+  rows this replaces the sort that made ls-2 QAT 7x slower than ls-1 on
+  TPU (sorts lower to ~256 lane-shuffle passes; 20 Lloyd iterations are
+  ~80 fused passes over 3 starts). Not bit-exact vs 'exact' (a local optimum of the
+  same objective), but measured within 0.04% (2-bit) /
+  0.6% (ternary — heavy-tail rows whose continuous optimum sits on an
+  assignment boundary, where coordinate descent cannot land) relative
+  cost on adversarial random data, and accuracy-neutral on the digits
+  ladder — see
+  tests/ops/test_optimal.py and docs/DESIGN.md. Honors the reference's
+  `skip` stride (the activation quantizers solve on every 3rd element,
+  quantization.py:63) — a 3x traffic cut the sort path also uses.
+
 TPU-first redesign in both modes — this is NOT a transliteration: the
 reference materializes a ragged candidate list (masked_select + split +
 pad_sequence) and evaluates each candidate's cost with a full O(M) pass
@@ -145,6 +166,62 @@ def _opt_v1_reference(a, c, total_sum, total_sq, ternary: bool) -> jax.Array:
     return jnp.take_along_axis(vals, best[:, None], axis=-1)[:, 0]
 
 
+def _opt_v1_lloyd(matrix: jax.Array, ternary: bool, skip: int = 1,
+                  iters: int = 12) -> jax.Array:
+    """1-D 2-means on |row| via Lloyd fixed point (see module docstring).
+
+    The threshold between the two magnitude clusters equals v1 at every
+    step, so the loop carries v1 directly. Guards: an empty upper cluster
+    keeps its previous center; all-equal rows converge to v1 = a (2-bit;
+    every element in one cluster and c1 = c2 = a) or a/2-style ternary
+    edge handled by the same masked means.
+    """
+    a = jnp.abs(jax.lax.stop_gradient(
+        matrix[..., ::skip]).astype(jnp.float32))
+    a = a[:, None, :]                                     # (R, 1, M)
+    m = a.shape[-1]
+    total = jnp.sum(a, axis=-1, keepdims=True)            # (R, 1, 1)
+    total_sq = jnp.sum(a * a, axis=-1, keepdims=True)
+    mean = total / m
+    amax = jnp.max(a, axis=-1, keepdims=True)
+    # Multi-start: Lloyd is a fixed point of a non-convex objective, and
+    # heavy-tailed rows have basins the mean init misses. Three starts
+    # bracket the shapes real weights/activations take (light tail ~
+    # mean, heavy tail ~ midway to the max); the winner is picked by the
+    # same closed-form cost as the exact solver — still sort-free.
+    # Ternary thresholds sit at c2/2, so its starts are halved (mean/2
+    # is also the exact constant-row optimum, the min>mean/2 edge case).
+    scale = 0.5 if ternary else 1.0
+    v1 = scale * jnp.concatenate(
+        [0.5 * mean, mean, 0.5 * (mean + amax)], axis=1)  # (R, 3, 1)
+
+    # Statically unrolled (no lax.scan): the loop body is 3 fused
+    # passes over (R, 3, M); control flow inside every quantized conv
+    # measurably slows this environment's remote TPU compiles.
+    for _ in range(iters):
+        upper = a > v1
+        n2 = jnp.sum(upper, axis=-1, keepdims=True).astype(a.dtype)
+        s2 = jnp.sum(jnp.where(upper, a, 0.0), axis=-1, keepdims=True)
+        c2 = s2 / jnp.maximum(n2, 1.0)
+        if ternary:
+            # Centers {0, c2}: the zero center is fixed, so only an
+            # empty upper cluster is degenerate. Threshold = c2/2 = v1.
+            v1 = jnp.where(n2 > 0, 0.5 * c2, v1)
+        else:
+            n1 = m - n2
+            c1 = (total - s2) / jnp.maximum(n1, 1.0)
+            # Either cluster empty (constant rows): keep the threshold.
+            v1 = jnp.where((n2 > 0) & (n2 < m), 0.5 * (c1 + c2), v1)
+
+    lower = a <= v1
+    n1 = jnp.sum(lower, axis=-1).astype(a.dtype)          # (R, 3)
+    c_low = jnp.sum(jnp.where(lower, a, 0.0), axis=-1)
+    costs = _candidate_costs(m, v1[..., 0], n1, c_low,
+                             total[..., 0], total_sq[..., 0], ternary)
+    best = jnp.argmin(costs, axis=-1)
+    return jnp.take_along_axis(v1[..., 0], best[:, None], axis=-1)[:, 0]
+
+
 def opt_v1(matrix: jax.Array, ternary: bool, skip: int = 1,
            mode: str = 'exact') -> jax.Array:
     """Optimal per-row v1 for the ls-2 / ls-T quantizers.
@@ -153,16 +230,22 @@ def opt_v1(matrix: jax.Array, ternary: bool, skip: int = 1,
         matrix: 2D array (rows, features); each row is solved independently.
         ternary: solve the ternary (v2 = v1) variant instead of 2-bit.
         skip: static column stride subsampling the solve (reference
-            optimal.py:134; weight/activation callers use 3).
-        mode: 'exact' (true continuous optimum, default) or 'reference'
-            (bit-parity with the reference's candidate selection).
+            optimal.py:134; weight/activation callers use 3). Ignored by
+            'lloyd', which is cheap enough to use every element.
+        mode: 'exact' (true continuous optimum, default), 'reference'
+            (bit-parity with the reference's candidate selection), or
+            'lloyd' (sort-free 2-means fixed point — the TPU-fast
+            training mode, see module docstring).
 
     Returns:
         v1 of shape (rows,), float32, gradients stopped.
     """
+    if mode == 'lloyd':
+        return _opt_v1_lloyd(matrix, ternary, skip)
     a, c, total_sum, total_sq = _sorted_stats(matrix, skip)
     if mode == 'exact':
         return _opt_v1_exact(a, c, total_sum, total_sq, ternary)
     if mode == 'reference':
         return _opt_v1_reference(a, c, total_sum, total_sq, ternary)
-    raise ValueError(f"opt_v1 mode must be 'exact' or 'reference', got {mode}")
+    raise ValueError(
+        f"opt_v1 mode must be 'exact', 'reference' or 'lloyd', got {mode}")

@@ -30,8 +30,18 @@ def main() -> None:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else BATCH
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else ITERS
     # Optional 3rd arg: train_dtype (e.g. bfloat16) for the mixed-
-    # precision A/B (docs/API.md train_dtype).
+    # precision A/B (docs/API.md train_dtype). Pass '-' for f32.
     train_dtype = sys.argv[3] if len(sys.argv) > 3 else None
+    if train_dtype == '-':
+        train_dtype = None
+    # Optional 4th/5th args: activation / weight schemes (default
+    # ls-1/ls-1; pass 'ls-2 ls-1' for the accuracy-flagship recipe,
+    # whose per-sample opt_v1 sort is the expensive train-side solve).
+    x_quant = sys.argv[4] if len(sys.argv) > 4 else 'ls-1'
+    w_quant = sys.argv[5] if len(sys.argv) > 5 else 'ls-1'
+    # Optional 6th arg: solver_mode ('exact' | 'reference' | 'lloyd' —
+    # the sort-free TPU-fast ls-2/ls-T solve, ops/optimal.py).
+    solver_mode = sys.argv[6] if len(sys.argv) > 6 else 'exact'
 
     from bench import _resnet18
     from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
@@ -42,7 +52,7 @@ def main() -> None:
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
     y = jax.random.randint(key, (batch,), 0, 1000)
 
-    model = _resnet18('ls-1', 'ls-1',
+    model = _resnet18(x_quant, w_quant, solver_mode=solver_mode,
                       **({'train_dtype': train_dtype} if train_dtype
                          else {}))
     variables = model.init(key, x[:2], True)
@@ -66,9 +76,11 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     print(json.dumps({
-        'metric': 'resnet18_ls1_train_images_per_sec',
+        'metric': 'resnet18_train_images_per_sec',
         'value': round(batch * iters / dt, 2),
         'batch': batch,
+        'schemes': f'{x_quant}x{w_quant}',
+        'solver_mode': solver_mode,
         'train_dtype': train_dtype or 'float32',
         'unit': 'images/sec/chip',
         'compile_seconds': round(compile_s, 1),
