@@ -24,7 +24,13 @@ from quant_tpu.nn.layers import (
     validate_scheme,
 )
 from quant_tpu.nn.lenet import QLeNet5
-from quant_tpu.nn.resnet import QResNet, RegularBasicBlock, XnorBasicBlock
+from quant_tpu.nn.resnet import (
+    QResNet,
+    RegularBasicBlock,
+    RegularBottleneckBlock,
+    XnorBasicBlock,
+    XnorBottleneckBlock,
+)
 
 MODEL_REGISTRY = {
     'lenet5': QLeNet5,
@@ -34,6 +40,7 @@ MODEL_REGISTRY = {
 __all__ = [
     'ActivationQuantizer', 'BatchNorm', 'Conv', 'Dense', 'QuantConv2d',
     'WeightQuantizer', 'scheme_num_scales', 'validate_scheme',
-    'QLeNet5', 'QResNet', 'RegularBasicBlock', 'XnorBasicBlock',
+    'QLeNet5', 'QResNet', 'RegularBasicBlock', 'RegularBottleneckBlock',
+    'XnorBasicBlock', 'XnorBottleneckBlock',
     'MODEL_REGISTRY',
 ]

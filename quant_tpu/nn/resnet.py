@@ -154,7 +154,138 @@ class XnorBasicBlock(nn.Module):
         return _nonlin(self.nonlins[1], 'nonlin2')(out2)
 
 
-_BLOCKS = {'regular': RegularBasicBlock, 'xnor': XnorBasicBlock}
+class RegularBottleneckBlock(nn.Module):
+    """1x1-reduce -> 3x3 -> 1x1-expand bottleneck (ResNet-50 family),
+    conv->BN->nonlin ordering.
+
+    Beyond-reference extension: apple/ml-quant ships only basic blocks
+    (resnet.py:28-190); this adds the deeper family with the same
+    quantization contract — quantized convs, fp 1x1+BN shortcut, fp
+    stem/head handled by QResNet. `nonlins` keeps the reference's
+    two-entry schema: nonlins[0] follows bn1/bn2 (internal), nonlins[1]
+    is the post-residual activation.
+    """
+
+    expansion = 4
+
+    planes: int
+    x_quant: str
+    w_quant: str
+    nonlins: Sequence[str]
+    stride: int = 1
+    clamp: Optional[dict[str, Any]] = None
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    inference_mode: str = 'dense'
+    eval_dtype: Optional[Any] = None
+    train_dtype: Optional[Any] = None
+    pass_fusion: bool = True
+    sign_compute: str = 'auto'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if len(self.nonlins) != 2:
+            raise ValueError('There should be 2 non-linearities.')
+        dt = self.eval_dtype if not train else self.train_dtype
+        qconv = dict(
+            x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
+            moving_average_mode=self.moving_average_mode,
+            moving_average_momentum=self.moving_average_momentum,
+            solver_mode=self.solver_mode,
+            inference_mode=self.inference_mode, eval_dtype=dt,
+            train_dtype=self.train_dtype,
+            pass_fusion=self.pass_fusion,
+            sign_compute=self.sign_compute,
+            use_bias=False,
+        )
+        out = QuantConv2d(self.planes, 1, stride=1, padding=0,
+                          name='conv1', **qconv)(x, train)
+        out = _nonlin(self.nonlins[0], 'nonlin1')(
+            BatchNorm(dtype=dt, name='bn1')(out, train))
+        out = QuantConv2d(self.planes, 3, stride=self.stride, padding=1,
+                          name='conv2', **qconv)(out, train)
+        out = _nonlin(self.nonlins[0], 'nonlin2')(
+            BatchNorm(dtype=dt, name='bn2')(out, train))
+        out = QuantConv2d(self.planes * self.expansion, 1, stride=1,
+                          padding=0, name='conv3', **qconv)(out, train)
+        out = BatchNorm(dtype=dt, name='bn3')(out, train)
+        out = out + _Shortcut(self.planes * self.expansion, self.stride,
+                              use_bias=False, dtype=dt,
+                              name='shortcut')(x, train)
+        return _nonlin(self.nonlins[1], 'nonlin3')(out)
+
+
+class XnorBottleneckBlock(nn.Module):
+    """Bottleneck with XNOR-Net ordering: BN -> quant-conv -> nonlin per
+    sub-conv, biased convs, single fp shortcut around the whole block.
+
+    Bi-Real's double shortcut is defined for equal-width basic blocks
+    only; the 1x1 reduce/expand convs change channel counts, so
+    double_shortcut=True raises rather than silently approximating.
+    """
+
+    expansion = 4
+
+    planes: int
+    x_quant: str
+    w_quant: str
+    nonlins: Sequence[str]
+    stride: int = 1
+    double_shortcut: bool = False
+    clamp: Optional[dict[str, Any]] = None
+    moving_average_mode: str = 'off'
+    moving_average_momentum: float = 0.99
+    solver_mode: str = 'exact'
+    inference_mode: str = 'dense'
+    eval_dtype: Optional[Any] = None
+    train_dtype: Optional[Any] = None
+    pass_fusion: bool = True
+    sign_compute: str = 'auto'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        if len(self.nonlins) != 2:
+            raise ValueError('There should be 2 non-linearities.')
+        if self.double_shortcut:
+            raise ValueError(
+                'double_shortcut is only defined for basic blocks '
+                '(channel counts change inside a bottleneck).')
+        dt = self.eval_dtype if not train else self.train_dtype
+        qconv = dict(
+            x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
+            moving_average_mode=self.moving_average_mode,
+            moving_average_momentum=self.moving_average_momentum,
+            solver_mode=self.solver_mode,
+            inference_mode=self.inference_mode, eval_dtype=dt,
+            train_dtype=self.train_dtype,
+            pass_fusion=self.pass_fusion,
+            sign_compute=self.sign_compute,
+            use_bias=True,
+        )
+        out = BatchNorm(dtype=dt, name='bn1')(x, train)
+        out = QuantConv2d(self.planes, 1, stride=1, padding=0,
+                          name='conv1', **qconv)(out, train)
+        out = _nonlin(self.nonlins[0], 'nonlin1')(out)
+        out = BatchNorm(dtype=dt, name='bn2')(out, train)
+        out = QuantConv2d(self.planes, 3, stride=self.stride, padding=1,
+                          name='conv2', **qconv)(out, train)
+        out = _nonlin(self.nonlins[0], 'nonlin2')(out)
+        out = BatchNorm(dtype=dt, name='bn3')(out, train)
+        out = QuantConv2d(self.planes * self.expansion, 1, stride=1,
+                          padding=0, name='conv3', **qconv)(out, train)
+        out = out + _Shortcut(self.planes * self.expansion, self.stride,
+                              use_bias=True, dtype=dt,
+                              name='shortcut')(x, train)
+        return _nonlin(self.nonlins[1], 'nonlin3')(out)
+
+
+_BLOCKS = {
+    'regular': RegularBasicBlock,
+    'xnor': XnorBasicBlock,
+    'regular_bottleneck': RegularBottleneckBlock,
+    'xnor_bottleneck': XnorBottleneckBlock,
+}
 
 
 class QResNet(nn.Module):
@@ -164,6 +295,10 @@ class QResNet(nn.Module):
     (resnet.py:216-247): layer0 configures the fp stem, layer1..layer4 each
     carry {x_quant, w_quant, clamp, double_shortcut?} for their stage,
     num_blocks the per-stage depth, nonlins the two block non-linearities.
+
+    block: 'regular' | 'xnor' (basic, reference parity) or
+    'regular_bottleneck' | 'xnor_bottleneck' (ResNet-50-family extension;
+    e.g. num_blocks [3,4,6,3] + block 'regular_bottleneck' = ResNet-50).
     """
 
     block: str

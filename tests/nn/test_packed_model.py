@@ -92,6 +92,33 @@ def test_resnet_packed_bf16_eval_dtype(rng):
                                rtol=1e-1, atol=2e-1)
 
 
+@pytest.mark.parametrize('block', ['regular_bottleneck',
+                                   'xnor_bottleneck'])
+def test_bottleneck_packed_matches_dense(rng, block):
+    """Packed inference through 1x1 reduce/expand convs (bottleneck
+    family) must track the dense path like the basic blocks do."""
+    layer = {'x_quant': 'ls-2', 'w_quant': 'ls-1',
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0}}
+    model = QResNet(
+        block=block,
+        layer0={'n_in_channels': 8, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=None,
+        nonlins=['relu', 'relu'],
+        num_blocks=[1, 1, 1],
+        output_classes=10,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    variables = _trained_vars(model, x)
+    out_dense = model.apply(variables, x, False)
+    out_packed = model.clone(inference_mode='packed').apply(
+        variables, x, False)
+    np.testing.assert_allclose(np.asarray(out_packed),
+                               np.asarray(out_dense), rtol=5e-2, atol=1e-1)
+
+
 @pytest.mark.parametrize('x_quant', ['ls-2', 'ls-T', 'gf-2'])
 def test_lenet_packed_ema_multi_bit_parity(rng, x_quant):
     """Packed path with eval_only EMA scales must match the dense path for
