@@ -18,7 +18,7 @@ Reference parity (quant/common/initialization.py:134-216):
 
 import copy
 import logging
-from typing import Callable
+from typing import Any, Callable, Optional
 
 import optax
 
@@ -78,18 +78,36 @@ def make_lr_schedule(config: dict, epochs: int,
     raise ValueError(f'LR scheduler {kind} is not supported.')
 
 
-def make_optimizer(config: dict, epochs: int,
-                   steps_per_epoch: int) -> tuple[optax.GradientTransformation,
-                                                  Callable[[int], float]]:
+def make_optimizer(
+    config: dict, epochs: int, steps_per_epoch: int,
+    param_labels: Optional[Any] = None,
+) -> tuple[optax.GradientTransformation, Callable[[int], float]]:
     """Build (optax transform, lr schedule) from reference-schema configs.
 
     `config` is the merged {optimizer: {...}, lr_scheduler: {...}} section;
     the optimizer's base lr seeds the schedule.
+
+    Per-group treatment (makes the reference's `quantized_parameters`
+    scaffolding real, binary_conv.py:93-96): an optional
+    ``optimizer.param_groups`` section applies per-label overrides over
+    the 'quantized'/'fp' labels from train/groups.py, e.g.::
+
+        optimizer:
+          algorithm: adam
+          lr: 0.001
+          weight_decay: 1.0e-4
+          param_groups:
+            quantized: {lr_scale: 2.0, weight_decay: 0.0}
+
+    `lr_scale` multiplies the shared schedule; `weight_decay` overrides
+    the global value for that group. `param_labels` (the pytree from
+    quantized_param_labels) is required when param_groups is set.
     """
     opt_cfg = copy.deepcopy(config['optimizer'])
     algorithm = opt_cfg.pop('algorithm')
     lr0 = float(opt_cfg.pop('lr', 1.0))
     weight_decay = float(opt_cfg.pop('weight_decay', 0.0))
+    groups_cfg = opt_cfg.pop('param_groups', None)
 
     sched_cfg = dict(copy.deepcopy(config.get(
         'lr_scheduler', {'scheduler': 'step_lr', 'step_size': 10 ** 9,
@@ -97,24 +115,47 @@ def make_optimizer(config: dict, epochs: int,
     sched_cfg['lr'] = lr0
     schedule = make_lr_schedule(sched_cfg, epochs, steps_per_epoch)
 
-    if algorithm == 'sgd':
-        momentum = float(opt_cfg.pop('momentum', 0.0))
-        nesterov = bool(opt_cfg.pop('nesterov', False))
-        core = optax.sgd(learning_rate=schedule,
-                         momentum=momentum if momentum else None,
-                         nesterov=nesterov)
-    elif algorithm == 'adam':
-        betas = opt_cfg.pop('betas', (0.9, 0.999))
-        eps = float(opt_cfg.pop('eps', 1e-8))
-        core = optax.adam(learning_rate=schedule, b1=float(betas[0]),
-                          b2=float(betas[1]), eps=eps)
-    elif algorithm == 'adadelta':
-        rho = float(opt_cfg.pop('rho', 0.9))
-        eps = float(opt_cfg.pop('eps', 1e-6))
-        core = optax.adadelta(learning_rate=schedule, rho=rho, eps=eps)
-    else:
+    def build_core(lr_scale: float = 1.0) -> optax.GradientTransformation:
+        lr = schedule if lr_scale == 1.0 else (
+            lambda step: schedule(step) * lr_scale)
+        if algorithm == 'sgd':
+            momentum = float(opt_cfg.get('momentum', 0.0))
+            nesterov = bool(opt_cfg.get('nesterov', False))
+            return optax.sgd(learning_rate=lr,
+                             momentum=momentum if momentum else None,
+                             nesterov=nesterov)
+        if algorithm == 'adam':
+            betas = opt_cfg.get('betas', (0.9, 0.999))
+            eps = float(opt_cfg.get('eps', 1e-8))
+            return optax.adam(learning_rate=lr, b1=float(betas[0]),
+                              b2=float(betas[1]), eps=eps)
+        if algorithm == 'adadelta':
+            rho = float(opt_cfg.get('rho', 0.9))
+            eps = float(opt_cfg.get('eps', 1e-6))
+            return optax.adadelta(learning_rate=lr, rho=rho, eps=eps)
         raise ValueError(f'Optimizer {algorithm} is not supported.')
 
+    if groups_cfg:
+        if param_labels is None:
+            raise ValueError(
+                'optimizer.param_groups requires param labels — build them '
+                'with quant_tpu.train.groups.quantized_param_labels.')
+        transforms = {}
+        for label in ('fp', 'quantized'):
+            g = dict(groups_cfg.get(label, {}))
+            scale = float(g.pop('lr_scale', 1.0))
+            wd = float(g.pop('weight_decay', weight_decay))
+            if g:
+                raise ValueError(
+                    f'Unknown param_groups.{label} keys: {sorted(g)} '
+                    "(supported: lr_scale, weight_decay)")
+            core_g = build_core(scale)
+            transforms[label] = (
+                optax.chain(optax.add_decayed_weights(wd), core_g)
+                if wd else core_g)
+        return optax.multi_transform(transforms, param_labels), schedule
+
+    core = build_core()
     if weight_decay:
         tx = optax.chain(optax.add_decayed_weights(weight_decay), core)
     else:

@@ -219,8 +219,13 @@ def classification_task(
         import optax
         tx, lr_schedule = optax.identity(), None
     else:
+        param_labels = None
+        if optimization_config.get('optimizer', {}).get('param_groups'):
+            from quant_tpu.train.groups import quantized_param_labels
+            param_labels = quantized_param_labels(variables)
         tx, lr_schedule = make_optimizer(
-            optimization_config, epochs, len(train_loader))
+            optimization_config, epochs, len(train_loader),
+            param_labels=param_labels)
 
     state = TrainState.create(model.apply, variables, tx)
 
