@@ -17,9 +17,11 @@ loaded from the same checkpoint (the TP-sharded variant jits the forward
 over a mesh instead — same API).
 """
 
+import collections
 import logging
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Callable, Optional, Sequence
 
@@ -28,6 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# Ring-buffer depth for latency percentiles: recent-window stats, O(1) mem.
+_LATENCY_WINDOW = 2048
 
 
 class InferenceEngine:
@@ -74,12 +79,25 @@ class InferenceEngine:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._stats = {'requests': 0, 'batches': 0, 'padded': 0}
+        # Request latency (submit -> result set) over a recent window.
+        self._latencies: collections.deque = collections.deque(
+            maxlen=_LATENCY_WINDOW)
 
     # -- public API ------------------------------------------------------
 
     def start(self) -> 'InferenceEngine':
         self._thread.start()
         return self
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Compile (and run once) the given buckets — all by default — so
+        no request ever pays XLA compile latency. Call before start() in
+        deployments where first-request latency matters."""
+        for b in (buckets or self.buckets):
+            if b not in self.buckets:
+                raise ValueError(f'{b} is not a configured bucket '
+                                 f'({self.buckets})')
+            self._run(b, np.zeros((b,) + self.input_shape, np.float32))
 
     def stop(self) -> None:
         self._stop.set()
@@ -91,7 +109,8 @@ class InferenceEngine:
             raise ValueError(
                 f'expected shape {self.input_shape}, got {image.shape}')
         fut: Future = Future()
-        self._queue.put((np.asarray(image, np.float32), fut))
+        self._queue.put((np.asarray(image, np.float32), fut,
+                         time.perf_counter()))
         with self._lock:
             self._stats['requests'] += 1
         return fut
@@ -112,7 +131,16 @@ class InferenceEngine:
     @property
     def stats(self) -> dict:
         with self._lock:
-            return dict(self._stats)
+            out = dict(self._stats)
+            lats = np.asarray(self._latencies)
+        if lats.size:
+            out['latency_ms'] = {
+                'p50': float(np.percentile(lats, 50) * 1e3),
+                'p99': float(np.percentile(lats, 99) * 1e3),
+                'max': float(lats.max() * 1e3),
+                'window': int(lats.size),
+            }
+        return out
 
     # -- internals -------------------------------------------------------
 
@@ -140,8 +168,6 @@ class InferenceEngine:
             except queue.Empty:
                 continue
             items = [first]
-            deadline = None
-            import time
             deadline = time.perf_counter() + self.max_wait
             while len(items) < self.max_batch:
                 remaining = deadline - time.perf_counter()
@@ -155,19 +181,21 @@ class InferenceEngine:
             n = len(items)
             bucket = self._bucket_for(n)
             batch = np.zeros((bucket,) + self.input_shape, np.float32)
-            for i, (img, _) in enumerate(items):
+            for i, (img, _, _) in enumerate(items):
                 batch[i] = img
             try:
                 out = self._run(bucket, batch)
             except Exception as e:  # resolve futures with the error
-                for _, fut in items:
+                for _, fut, _ in items:
                     fut.set_exception(e)
                 continue
-            for i, (_, fut) in enumerate(items):
+            done = time.perf_counter()
+            for i, (_, fut, _) in enumerate(items):
                 fut.set_result(np.asarray(out[i]))
             with self._lock:
                 self._stats['batches'] += 1
                 self._stats['padded'] += bucket - n
+                self._latencies.extend(done - t0 for _, _, t0 in items)
 
 
 class ServingFrontend:

@@ -97,3 +97,31 @@ def test_frontend_two_engines_balanced(rng):
         assert all(e['requests'] > 0 for e in s['engines'])
     finally:
         front.stop()
+
+
+def test_warmup_precompiles_buckets():
+    eng = _engine()
+    assert eng._compiled == {}
+    eng.warmup()
+    assert set(eng._compiled) == set(eng.buckets)
+    # Partial warmup of a subset is allowed; unknown buckets are not.
+    eng2 = _engine()
+    eng2.warmup([1, 8])
+    assert set(eng2._compiled) == {1, 8}
+    import pytest
+    with pytest.raises(ValueError, match='bucket'):
+        eng2.warmup([3])
+
+
+def test_latency_stats_window(rng):
+    eng = _engine(max_wait_ms=5.0).start()
+    try:
+        imgs = rng.standard_normal((6,) + SHAPE).astype(np.float32)
+        futs = [eng.submit(img) for img in imgs]
+        for f in futs:
+            f.result(timeout=30)
+        lat = eng.stats['latency_ms']
+        assert lat['window'] == 6
+        assert 0 <= lat['p50'] <= lat['p99'] <= lat['max']
+    finally:
+        eng.stop()
