@@ -70,7 +70,11 @@ def main() -> None:
     packed = model.clone(inference_mode='packed',
                          eval_dtype=jnp.bfloat16)
     engine = InferenceEngine(packed.apply, variables, shape,
-                             max_batch=64).start()
+                             max_batch=64)
+    # Compile every bucket before accepting traffic: no request pays
+    # XLA compile latency, and the req/s below measures steady state.
+    engine.warmup()
+    engine.start()
     try:
         rng = np.random.default_rng(0)
         t0 = time.perf_counter()
@@ -79,10 +83,13 @@ def main() -> None:
             for _ in range(args.requests)]
         outs = [f.result(timeout=600) for f in futs]
         dt = time.perf_counter() - t0
+        stats = engine.stats
         print(f'{len(outs)} requests in {dt:.2f}s '
               f'({len(outs) / dt:.1f} req/s), '
-              f'batches={engine.stats["batches"]}, '
-              f'padded={engine.stats["padded"]}')
+              f'batches={stats["batches"]}, '
+              f'padded={stats["padded"]}, '
+              f'latency p50/p99 = {stats["latency_ms"]["p50"]:.1f}/'
+              f'{stats["latency_ms"]["p99"]:.1f} ms')
         print('first logits:', np.asarray(outs[0])[:5])
     finally:
         engine.stop()
