@@ -63,3 +63,44 @@ def test_packed_tp_forward_matches_unsharded(rng):
     out = fwd(sharded_vars, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_tp_bottleneck_forward_matches_unsharded(rng):
+    """TP-sharded packed inference through the bottleneck family
+    (1x1 reduce/expand convs shard over 'model' like the 3x3s)."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from quant_tpu.nn import QResNet
+    layer = {'x_quant': 'ls-1', 'w_quant': 'ls-1',
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0}}
+    model = QResNet(
+        block='regular_bottleneck',
+        layer0={'n_in_channels': 8, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=None, nonlins=['relu', 'relu'], num_blocks=[1, 1, 1],
+        output_classes=10)
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x, True)
+    _, mut = model.apply(variables, x, True,
+                         mutable=['quant_state', 'batch_stats'])
+    variables = {**variables, **mut}
+    packed_vars = export_packed_variables(model, variables, x[:2])
+    packed_model = model.clone(inference_mode='packed')
+    ref = packed_model.apply(packed_vars, x, False)
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = shard_model_variables(packed_vars, mesh,
+                                      tensor_parallel=True)
+    sharded_vars = jax.tree.map(jax.device_put, packed_vars, shardings,
+                                is_leaf=lambda v: hasattr(v, 'shape'))
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    @jax.jit
+    def fwd(v, xb):
+        return packed_model.apply(v, xb, False)
+
+    out = fwd(sharded_vars, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
