@@ -87,9 +87,14 @@ def main() -> None:
         print(f'{len(outs)} requests in {dt:.2f}s '
               f'({len(outs) / dt:.1f} req/s), '
               f'batches={stats["batches"]}, '
-              f'padded={stats["padded"]}, '
-              f'latency p50/p99 = {stats["latency_ms"]["p50"]:.1f}/'
-              f'{stats["latency_ms"]["p99"]:.1f} ms')
+              f'padded={stats["padded"]}')
+        # Latencies are recorded by the scheduler thread after the
+        # futures resolve; with few requests the window may still be
+        # empty when the main thread reads stats.
+        lat = stats.get('latency_ms')
+        if lat:
+            print(f'latency p50/p99 = {lat["p50"]:.1f}/'
+                  f'{lat["p99"]:.1f} ms')
         print('first logits:', np.asarray(outs[0])[:5])
     finally:
         engine.stop()

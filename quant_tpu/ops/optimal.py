@@ -230,8 +230,8 @@ def opt_v1(matrix: jax.Array, ternary: bool, skip: int = 1,
         matrix: 2D array (rows, features); each row is solved independently.
         ternary: solve the ternary (v2 = v1) variant instead of 2-bit.
         skip: static column stride subsampling the solve (reference
-            optimal.py:134; weight/activation callers use 3). Ignored by
-            'lloyd', which is cheap enough to use every element.
+            optimal.py:134; weight/activation callers use 3). Honored
+            by every mode, including 'lloyd'.
         mode: 'exact' (true continuous optimum, default), 'reference'
             (bit-parity with the reference's candidate selection), or
             'lloyd' (sort-free 2-means fixed point — the TPU-fast

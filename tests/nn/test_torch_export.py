@@ -103,6 +103,35 @@ def test_export_dispatch_and_guards():
         export_state_dict('vit', variables, {})
 
 
+def test_export_mode_off_synthesizes_moving_avg_buffers():
+    """moving_average_mode='off' models track no EMA state, but the
+    reference ActivationQuantizer registers moving_avg_module buffers
+    unconditionally (activation_quantization.py:65) — a strict
+    load_state_dict in the reference needs them synthesized."""
+    model = QLeNet5(conv1_filters=8, conv2_filters=12,
+                    x_quant='ls-2', w_quant='ls-1',
+                    moving_average_mode='off')
+    variables = model.init(jax.random.key(0),
+                           np.zeros((2, 28, 28, 1), np.float32), True)
+    out = export_state_dict('lenet5', variables,
+                            {'conv2_filters': 12, 'x_quant': 'ls-2'})
+    mam = 'conv2.x_approximate.moving_avg_module'
+    assert out[f'{mam}.moving_average'].shape == (2,)  # k of ls-2
+    assert out[f'{mam}.momentum'].shape == (2,)
+    assert int(out[f'{mam}.num_batches_tracked']) == 0
+
+
+def test_export_missing_required_leaf_raises():
+    model = QLeNet5(conv1_filters=8, conv2_filters=12,
+                    x_quant='ls-1', w_quant='ls-1')
+    variables = model.init(jax.random.key(0),
+                           np.zeros((2, 28, 28, 1), np.float32), True)
+    broken = jax.tree.map(lambda x: x, variables)
+    del broken['params']['fc2']['bias']
+    with pytest.raises(KeyError, match='fc2/bias'):
+        export_lenet_state_dict(broken, conv2_filters=12)
+
+
 def test_export_torch_load_round_trip():
     """numpy_to_state_dict wraps tensors torch.load/save can handle and
     the torch (cpu) tensors match the arrays."""

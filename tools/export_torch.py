@@ -5,8 +5,13 @@
 
 Loads the experiment's config.yaml + latest (or given) checkpoint,
 converts to a reference-keyed state dict (utils/torch_export.py) and
-writes a torch.save payload {'model': state_dict, 'epoch': N} that
-apple/ml-quant's restore_from_checkpoint accepts.
+writes a torch.save payload keyed like the reference's own checkpoints
+({'model_state_dict', 'optimizer_state_dict', 'scheduler_state_dict',
+'epoch'} — quant/utils/checkpoints.py:43-51), so apple/ml-quant's
+restore_from_checkpoint (checkpoints.py:84-88) loads it directly.
+The optimizer/scheduler entries are empty placeholders: restore the
+exported file with optimizer=None, scheduler=None (the reference's
+--skip-training / teacher-load paths do exactly that).
 """
 
 import argparse
@@ -45,7 +50,9 @@ def main() -> None:
     sd = export_state_dict(cfg['model']['architecture'], variables,
                            cfg['model'].get('arch_config', {}))
     out = pathlib.Path(args.out) if args.out else exp / 'export.pt'
-    torch.save({'model': numpy_to_state_dict(sd),
+    torch.save({'model_state_dict': numpy_to_state_dict(sd),
+                'optimizer_state_dict': {},
+                'scheduler_state_dict': {},
                 'epoch': int(payload.get('epoch', 0))}, out)
     print(f'wrote {out} ({len(sd)} tensors, epoch '
           f'{int(payload.get("epoch", 0))})')
