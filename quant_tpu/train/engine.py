@@ -156,11 +156,18 @@ def train_epoch(train_step: Callable, state: TrainState,
         host_step += 1
         seen += data.shape[0]
         global_step = 1 + (epoch - 1) * (steps_per_epoch or 0) + batch_idx
-        for hook in hooks:
+        if hooks:
+            # Live accumulators ride along so the TB hook logs the real
+            # train metrics every log_interval (reference
+            # visualization.py:45-62); the hook computes them only when
+            # its interval gate passes.
+            metrics.state = metric_state
             lr = (float(lr_schedule(host_step - 1))
                   if lr_schedule else None)
-            hook(epoch=epoch, global_step=global_step,
-                 values_dict={'lr': lr}, log_interval=log_interval)
+            for hook in hooks:
+                hook(epoch=epoch, global_step=global_step,
+                     values_dict={'lr': lr}, log_interval=log_interval,
+                     metrics={'train': metrics})
         if batch_idx % log_interval == 0:
             logger.info('Train Epoch: %d [%d/%s]\tBatch Loss: %.6f',
                         epoch, seen, n_total or '?', float(loss))
@@ -192,9 +199,12 @@ def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
         data = assemble(data)
         target = assemble(target)
         metric_state, _ = eval_step(state, data, target, metric_state)
-    for hook in hooks:
-        hook(epoch=epoch, global_step=batch_idx + 1)
     metrics.state = metric_state
     computed = metrics.compute()
+    for hook in hooks:
+        # Post-loop hooks receive the epoch's computed test metrics
+        # (reference visualization.py:64-77 logs them once per epoch).
+        hook(epoch=epoch, global_step=batch_idx + 1,
+             metrics={'test': metrics})
     logger.info('Test set evaluation metrics: %s', computed)
     return computed

@@ -274,6 +274,15 @@ def classification_task(
         train_hooks, test_hooks = get_hooks(
             config, Path(experiment_root_directory))
 
+    def _close_hooks() -> None:
+        # Flush/close hooks that buffer (TensorBoard writers); without
+        # this, short runs end before the periodic flush and the event
+        # files stay empty.
+        for hook in (*train_hooks, *test_hooks):
+            close = getattr(hook, 'close', None)
+            if callable(close):
+                close()
+
     train_step = make_train_step(train_loss_fn, teacher_apply, mesh=mesh)
     eval_step = make_eval_step(eval_loss_fn, mesh=mesh)
 
@@ -282,68 +291,72 @@ def classification_task(
 
     exp_dir = Path(experiment_root_directory) / config['experiment_name']
 
-    if skip_training:
-        test_epoch_metrics.append(
-            evaluate(eval_step, state, test_loader, epoch=1,
-                     hooks=test_hooks, assemble=assemble))
-    else:
-        save_freq = int(log_config.get('save_model_freq', epochs))
+    try:
+        if skip_training:
+            test_epoch_metrics.append(
+                evaluate(eval_step, state, test_loader, epoch=1,
+                         hooks=test_hooks, assemble=assemble))
+        else:
+            save_freq = int(log_config.get('save_model_freq', epochs))
 
-        def _payload(epoch: int) -> dict:
-            return {'params': state.params,
-                    'batch_stats': state.batch_stats,
-                    'quant_state': state.quant_state,
-                    'opt_state': state.opt_state,
-                    'step': state.step,
-                    'epoch': epoch}
+            def _payload(epoch: int) -> dict:
+                return {'params': state.params,
+                        'batch_stats': state.batch_stats,
+                        'quant_state': state.quant_state,
+                        'opt_state': state.opt_state,
+                        'step': state.step,
+                        'epoch': epoch}
 
-        # SIGTERM (pod preemption) -> finish the batch, write an
-        # interrupt checkpoint, stop. The per-batch stop decision is a
-        # cluster CONSENSUS (jax's preemption sync service, or
-        # collective_any fallback — see train/preemption.py): acting on
-        # a local flag alone would strand peers inside the step
-        # collectives. The `with` restores any signal handlers even
-        # when an epoch raises.
-        with PreemptionGuard() as guard:
-            # Reference semantics: a restored run trains `epochs` MORE
-            # epochs (tasks.py:196: range(start_epoch, start+epochs)).
-            final_epoch = start_epoch + epochs - 1
-            for epoch in range(start_epoch, start_epoch + epochs):
-                state, m_train = train_epoch(
-                    train_step, state, train_loader, epoch,
-                    log_interval=int(log_config.get('interval', 10)),
-                    hooks=train_hooks, lr_schedule=lr_schedule,
-                    steps_per_epoch=len(train_loader), assemble=assemble,
-                    stop=guard)
-                if guard.requested:
-                    # Payload epoch-1: restore re-runs the interrupted
-                    # epoch (params are partially advanced; QAT
-                    # tolerates the re-run). Directory tag = this
-                    # epoch, so repeated preemptions overwrite one slot.
-                    save_checkpoint(exp_dir / 'checkpoints',
-                                    _payload(epoch - 1), epoch)
-                    logger.warning('Interrupt checkpoint written; '
-                                   'resume with --restore-experiment.')
-                    break
-                m_test = evaluate(eval_step, state, test_loader,
-                                  epoch=epoch, hooks=test_hooks,
-                                  assemble=assemble, stop=guard)
-                if guard.requested:
-                    # Interrupted during eval: this epoch's TRAINING
-                    # completed, so the payload resumes AFTER it.
-                    save_checkpoint(exp_dir / 'checkpoints',
-                                    _payload(epoch), epoch)
-                    logger.warning('Interrupt checkpoint written; '
-                                   'resume with --restore-experiment.')
-                    break
-                train_epoch_metrics.append(m_train)
-                test_epoch_metrics.append(m_test)
+            # SIGTERM (pod preemption) -> finish the batch, write an
+            # interrupt checkpoint, stop. The per-batch stop decision is a
+            # cluster CONSENSUS (jax's preemption sync service, or
+            # collective_any fallback — see train/preemption.py): acting on
+            # a local flag alone would strand peers inside the step
+            # collectives. The `with` restores any signal handlers even
+            # when an epoch raises.
+            with PreemptionGuard() as guard:
+                # Reference semantics: a restored run trains `epochs` MORE
+                # epochs (tasks.py:196: range(start_epoch, start+epochs)).
+                final_epoch = start_epoch + epochs - 1
+                for epoch in range(start_epoch, start_epoch + epochs):
+                    state, m_train = train_epoch(
+                        train_step, state, train_loader, epoch,
+                        log_interval=int(log_config.get('interval', 10)),
+                        hooks=train_hooks, lr_schedule=lr_schedule,
+                        steps_per_epoch=len(train_loader), assemble=assemble,
+                        stop=guard)
+                    if guard.requested:
+                        # Payload epoch-1: restore re-runs the interrupted
+                        # epoch (params are partially advanced; QAT
+                        # tolerates the re-run). Directory tag = this
+                        # epoch, so repeated preemptions overwrite one slot.
+                        save_checkpoint(exp_dir / 'checkpoints',
+                                        _payload(epoch - 1), epoch)
+                        logger.warning('Interrupt checkpoint written; '
+                                       'resume with --restore-experiment.')
+                        break
+                    m_test = evaluate(eval_step, state, test_loader,
+                                      epoch=epoch, hooks=test_hooks,
+                                      assemble=assemble, stop=guard)
+                    if guard.requested:
+                        # Interrupted during eval: this epoch's TRAINING
+                        # completed, so the payload resumes AFTER it.
+                        save_checkpoint(exp_dir / 'checkpoints',
+                                        _payload(epoch), epoch)
+                        logger.warning('Interrupt checkpoint written; '
+                                       'resume with --restore-experiment.')
+                        break
+                    train_epoch_metrics.append(m_train)
+                    test_epoch_metrics.append(m_test)
 
-                # Always checkpoint the LAST epoch of this run (for a
-                # resumed run: start_epoch+epochs-1, not `epochs`).
-                if epoch % save_freq == 0 or epoch == final_epoch:
-                    save_checkpoint(exp_dir / 'checkpoints',
-                                    _payload(epoch), epoch)
+                    # Always checkpoint the LAST epoch of this run (for a
+                    # resumed run: start_epoch+epochs-1, not `epochs`).
+                    if epoch % save_freq == 0 or epoch == final_epoch:
+                        save_checkpoint(exp_dir / 'checkpoints',
+                                        _payload(epoch), epoch)
+
+    finally:
+        _close_hooks()
 
     data_loader.cleanup()
     return train_epoch_metrics, test_epoch_metrics

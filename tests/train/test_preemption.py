@@ -70,7 +70,7 @@ def test_sigterm_interrupts_and_checkpoints(tmp_path):
     # 2 on resume), and report only epoch 1 metrics.
     fired = []
 
-    def bomb_hook(epoch, global_step, values_dict, log_interval):
+    def bomb_hook(epoch, global_step, values_dict, log_interval, **_):
         if epoch == 2 and not fired:
             fired.append(global_step)
             os.kill(os.getpid(), signal.SIGTERM)
