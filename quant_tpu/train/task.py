@@ -172,6 +172,21 @@ def classification_task(
         devices = devices[:nchips]
     mesh = make_mesh(model=tp, devices=devices) if len(devices) > 1 else None
 
+    def _place(vs: dict) -> dict:
+        """Place model variables per the mesh/TP config: kernels, biases
+        and per-out-channel quantizer scale stacks shard over 'model'
+        when environment.tensor_parallel > 1, everything replicates
+        under pure DP. Called after init AND after every restore path,
+        so the YAML knob actually reaches the variables (the reference's
+        one working parallelism knob, initialization.py:125-127, set the
+        standard)."""
+        if mesh is None:
+            return vs
+        from quant_tpu.parallel.sharding import shard_model_variables
+        shardings = shard_model_variables(vs, mesh,
+                                          tensor_parallel=tp > 1)
+        return jax.tree.map(jax.device_put, vs, shardings)
+
     if data_loader_cls is None:
         data_loader_cls = DATASET_REGISTRY[data_config.pop('dataset')]
     else:
@@ -193,7 +208,10 @@ def classification_task(
         )
         if train_loader is not None:
             train_loader = shard_loader_for_host(train_loader)
-        test_loader = shard_loader_for_host(test_loader)
+        # pad=True: eval covers the FULL test set — padded sentinel rows
+        # are excluded by the masked metrics (train must instead drop
+        # the ragged tail to keep the step collectives in lockstep).
+        test_loader = shard_loader_for_host(test_loader, pad=True)
 
         def assemble(a, _mesh=mesh):
             import numpy as _np
@@ -205,7 +223,7 @@ def classification_task(
     sample = next(iter(test_loader))[0][:2]
     model = build_model(model_config['architecture'],
                         model_config.get('arch_config', {}))
-    variables = init_model_variables(model, sample, seed)
+    variables = _place(init_model_variables(model, sample, seed))
 
     teacher_apply, kd_loss = None, None
     if 'kd_config' in model_config:
@@ -214,6 +232,14 @@ def classification_task(
 
     eval_loss_fn = get_loss_fn(model_config['loss'])
     train_loss_fn = kd_loss if kd_loss is not None else eval_loss_fn
+
+    # Batch-sharding divisibility for eval: pad each host-local batch to
+    # a multiple of its data-axis share with sentinel rows the masked
+    # metrics exclude — so an odd-sized test set still evaluates every
+    # example on any mesh (train instead drops ragged tails by design).
+    eval_pad = None
+    if mesh is not None and hasattr(eval_loss_fn, 'per_sample'):
+        eval_pad = max(1, mesh.shape['data'] // jax.process_count())
 
     if skip_training:
         import optax
@@ -234,7 +260,7 @@ def classification_task(
     if restore_experiment is not None:
         ckpt = get_path_to_checkpoint(restore_experiment)
         payload = restore_checkpoint(ckpt)
-        variables = _restore_into(variables, payload, strict)
+        variables = _place(_restore_into(variables, payload, strict))
         state = state.replace(
             params=variables['params'],
             batch_stats=variables.get('batch_stats', {}),
@@ -243,18 +269,40 @@ def classification_task(
         if 'opt_state' in payload and not skip_training:
             # Orbax round-trips optax's namedtuple states as plain
             # lists/dicts; rebuild the target structure from the restored
-            # leaves (same flatten order).
+            # leaves (same flatten order). Leaves are re-placed with the
+            # target's sharding (the fresh opt state mirrors the placed
+            # params), so restore keeps working on TP-sharded runs.
             target_leaves, target_def = jax.tree.flatten(state.opt_state)
             restored_leaves = jax.tree.leaves(payload['opt_state'])
+
+            def _put_like(n, o):
+                if not hasattr(o, 'dtype'):
+                    return n
+                arr = jnp.asarray(n).astype(o.dtype)
+                if mesh is None:
+                    return arr
+                # Mesh-sharded targets keep their sharding; scalar
+                # counters etc. (fresh ones are uncommitted) must be
+                # replicated on the mesh, NOT committed to one device.
+                sh = o.sharding
+                if not isinstance(sh, jax.sharding.NamedSharding):
+                    sh = jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec())
+                return jax.device_put(arr, sh)
+
             if len(restored_leaves) == len(target_leaves):
                 rebuilt = jax.tree.unflatten(
                     target_def,
-                    [jnp.asarray(n).astype(o.dtype)
-                     if hasattr(o, 'dtype') else n
+                    [_put_like(n, o)
                      for n, o in zip(restored_leaves, target_leaves)])
-                state = state.replace(
-                    opt_state=rebuilt,
-                    step=jnp.asarray(payload.get('step', 0), jnp.int32))
+                step_val = jnp.asarray(payload.get('step', 0), jnp.int32)
+                if mesh is not None:
+                    # Replicate on the mesh: a device-0-committed scalar
+                    # conflicts with the mesh-placed params inside jit.
+                    step_val = jax.device_put(
+                        step_val, jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec()))
+                state = state.replace(opt_state=rebuilt, step=step_val)
             else:
                 logger.warning(
                     'Optimizer state in checkpoint does not match the '
@@ -263,7 +311,7 @@ def classification_task(
         start_epoch = int(payload.get('epoch', 0)) + 1
     elif config.get('init_from_checkpoint'):
         payload = restore_checkpoint(Path(config['init_from_checkpoint']))
-        variables = _restore_into(variables, payload, strict)
+        variables = _place(_restore_into(variables, payload, strict))
         state = state.replace(
             params=variables['params'],
             batch_stats=variables.get('batch_stats', {}),
@@ -295,7 +343,8 @@ def classification_task(
         if skip_training:
             test_epoch_metrics.append(
                 evaluate(eval_step, state, test_loader, epoch=1,
-                         hooks=test_hooks, assemble=assemble))
+                         hooks=test_hooks, assemble=assemble,
+                         pad_rows_to=eval_pad))
         else:
             save_freq = int(log_config.get('save_model_freq', epochs))
 
@@ -337,7 +386,8 @@ def classification_task(
                         break
                     m_test = evaluate(eval_step, state, test_loader,
                                       epoch=epoch, hooks=test_hooks,
-                                      assemble=assemble, stop=guard)
+                                      assemble=assemble, stop=guard,
+                                      pad_rows_to=eval_pad)
                     if guard.requested:
                         # Interrupted during eval: this epoch's TRAINING
                         # completed, so the payload resumes AFTER it.
