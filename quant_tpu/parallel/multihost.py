@@ -105,24 +105,65 @@ class _ShardedBatches:
     batch, so hosts read disjoint rows and step in lockstep. Fallback for
     loaders without in-memory arrays (e.g. the lazy ImageNet loader);
     each host still *indexes* the full file list but decodes only its
-    slice when the underlying loader decodes lazily per batch."""
+    slice when the underlying loader decodes lazily per batch.
 
-    def __init__(self, inner, pi: int, pc: int):
+    Ragged final batches (rows not divisible by pc) would give hosts
+    row counts differing by 1 — a shape mismatch inside
+    make_array_from_process_local_data. pad=False trims every host to
+    the common count (train semantics: a <pc-row tail is dropped);
+    pad=True pads every host to the ceil count with sentinel target -1
+    rows that the masked eval metrics exclude, covering every example.
+    """
+
+    def __init__(self, inner, pi: int, pc: int, pad: bool = False):
         self._inner, self._pi, self._pc = inner, pi, pc
-        self.num_examples = getattr(inner, 'num_examples', 0) // pc
+        self._pad = pad
+        n = getattr(inner, 'num_examples', 0)
+        self.num_examples = -(-n // pc) if pad else n // pc
 
     def __len__(self):
         return len(self._inner)
 
     def __iter__(self):
         for data, target in self._inner:
-            yield data[self._pi::self._pc], target[self._pi::self._pc]
+            d = data[self._pi::self._pc]
+            t = target[self._pi::self._pc]
+            n = data.shape[0]
+            if self._pad:
+                want = -(-n // self._pc)
+                if d.shape[0] < want:
+                    extra = want - d.shape[0]
+                    d = np.concatenate(
+                        [d, np.zeros((extra,) + d.shape[1:], d.dtype)])
+                    t = np.concatenate(
+                        [np.asarray(t, np.int64),
+                         np.full((extra,), -1, np.int64)])
+            else:
+                common = n // self._pc
+                d, t = d[:common], t[:common]
+            yield d, t
+
+
+def _padded_host_slice(images: np.ndarray, labels: np.ndarray,
+                       pi: int, pc: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Split n rows into pc equal shards of ceil(n/pc), padding the tail
+    with sentinel target -1 rows (masked out of the eval metrics)."""
+    n = len(labels)
+    per = -(-n // pc)
+    pad = per * pc - n
+    if pad:
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        labels = np.concatenate(
+            [np.asarray(labels, np.int64), np.full((pad,), -1, np.int64)])
+    return images[pi * per:(pi + 1) * per], labels[pi * per:(pi + 1) * per]
 
 
 def shard_loader_for_host(loader: object,
                           process_index: Optional[int] = None,
-                          process_count: Optional[int] = None
-                          ) -> object:
+                          process_count: Optional[int] = None,
+                          pad: bool = False) -> object:
     """Give this host its disjoint 1/process_count of a batched loader.
 
     The config batch size is GLOBAL (reference semantics: one logical
@@ -131,6 +172,12 @@ def shard_loader_for_host(loader: object,
     logical array. BatchIterable loaders are resliced at the array level
     (each host holds only its examples); other loaders get a row-striding
     wrapper.
+
+    pad=False (train): the remainder rows are DROPPED so every host
+    dispatches identically-shaped steps. pad=True (eval): every host is
+    padded to ceil coverage with sentinel target -1 rows, so the masked
+    eval metrics cover the FULL set exactly (reference evaluate()
+    sees every example, training.py:155-204).
     """
     from quant_tpu.data.loaders import BatchIterable
     pi = jax.process_index() if process_index is None else process_index
@@ -138,14 +185,21 @@ def shard_loader_for_host(loader: object,
     if pc == 1:
         return loader
     if isinstance(loader, BatchIterable):
-        start, stop = host_shard(loader.num_examples, pi, pc, equal=True)
         local_bs = max(1, loader.batch_size // pc)
+        if pad:
+            imgs, labels = _padded_host_slice(
+                loader.images, loader.labels, pi, pc)
+            return BatchIterable(
+                imgs, labels, local_bs, shuffle=loader.shuffle,
+                seed=loader._seed + 7919 * pi, augment=loader.augment,
+                drop_last=False, pad_value=loader.pad_value)
+        start, stop = host_shard(loader.num_examples, pi, pc, equal=True)
         return BatchIterable(
             loader.images[start:stop], loader.labels[start:stop],
             local_bs, shuffle=loader.shuffle,
             seed=loader._seed + 7919 * pi, augment=loader.augment,
             drop_last=True, pad_value=loader.pad_value)
-    return _ShardedBatches(loader, pi, pc)
+    return _ShardedBatches(loader, pi, pc, pad=pad)
 
 
 def global_batch(local: np.ndarray, mesh: jax.sharding.Mesh) -> jax.Array:

@@ -104,11 +104,23 @@ def make_train_step(loss_fn: Callable,
 
 def make_eval_step(loss_fn: Callable,
                    mesh: Optional[jax.sharding.Mesh] = None) -> Callable:
-    """Build the jitted eval step (no state mutation, cached quant scales)."""
+    """Build the jitted eval step (no state mutation, cached quant scales).
+
+    When loss_fn carries a `.per_sample` form (the built-in losses do),
+    the metric update masks out sentinel rows (target < 0) — the padding
+    multi-process eval adds so every host steps over identical shapes
+    while the metrics still cover exactly the real test set."""
+    per_sample = getattr(loss_fn, 'per_sample', None)
 
     def step(state: TrainState, data: jax.Array, target: jax.Array,
              metric_state: dict) -> tuple[dict, jax.Array]:
         output = state.apply_fn(state.model_variables, data, False)
+        if per_sample is not None:
+            from quant_tpu.train.metrics import update_metric_state_masked
+            safe_t = jnp.maximum(target, 0)
+            return update_metric_state_masked(
+                metric_state, per_sample(output, safe_t), output,
+                target), output
         loss = loss_fn(output, target)
         return update_metric_state(metric_state, loss, output, target), output
 
@@ -181,12 +193,19 @@ def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
              epoch: int = 1,
              hooks: Optional[list[Hook]] = None,
              assemble: Callable = jnp.asarray,
-             stop: Optional[Callable[[], bool]] = None) -> dict[str, float]:
+             stop: Optional[Callable[[], bool]] = None,
+             pad_rows_to: Optional[int] = None) -> dict[str, float]:
     """Evaluate on a held-out set; returns computed metrics.
 
     stop: polled before each batch (see train_epoch) — a preemption
     during a long eval should not delay the interrupt checkpoint.
+    pad_rows_to: pad each (host-local) batch's rows up to a multiple of
+    this with sentinel target -1 rows (mesh divisibility for the batch
+    sharding). Only valid when the eval step masks sentinels (built-in
+    losses); the padded rows do not enter the metrics, so eval still
+    covers exactly the real examples.
     """
+    import numpy as np
     hooks = hooks or []
     metrics = MetricAccumulator()
     metric_state = metrics.state
@@ -196,6 +215,13 @@ def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
             logger.warning('Stop requested: ending eval at epoch %d '
                            'after %d batches.', epoch, batch_idx)
             break
+        if pad_rows_to and data.shape[0] % pad_rows_to:
+            extra = pad_rows_to - data.shape[0] % pad_rows_to
+            data = np.concatenate(
+                [data, np.zeros((extra,) + data.shape[1:], data.dtype)])
+            target = np.concatenate(
+                [np.asarray(target, np.int64),
+                 np.full((extra,), -1, np.int64)])
         data = assemble(data)
         target = assemble(target)
         metric_state, _ = eval_step(state, data, target, metric_state)

@@ -40,6 +40,34 @@ def update_metric_state(state: dict[str, jax.Array], loss: jax.Array,
     }
 
 
+def update_metric_state_masked(state: dict[str, jax.Array],
+                               per_sample_loss: jax.Array,
+                               output: jax.Array, target: jax.Array,
+                               k: int = 5) -> dict[str, jax.Array]:
+    """Metric update that EXCLUDES padded rows (target < 0).
+
+    Multi-process eval pads every host's final shard to a common shape
+    (parallel/multihost.py) with sentinel target -1; the count-weighted
+    accumulators ignore those rows, so pod eval equals single-host eval
+    on every example (reference evaluate(), training.py:155-204, covers
+    the whole test set).
+    """
+    valid = target >= 0
+    vf = valid.astype(jnp.float32)
+    safe_t = jnp.where(valid, target, 0)
+    pred1 = jnp.argmax(output, axis=-1)
+    top1 = jnp.sum((pred1 == safe_t) & valid)
+    kk = min(k, output.shape[-1])
+    _, topk_idx = jax.lax.top_k(output, kk)
+    topk = jnp.sum(jnp.any(topk_idx == safe_t[:, None], axis=-1) & valid)
+    return {
+        'loss_sum': state['loss_sum'] + jnp.sum(per_sample_loss * vf),
+        'top1': state['top1'] + top1,
+        'topk': state['topk'] + topk,
+        'count': state['count'] + jnp.sum(vf),
+    }
+
+
 @dataclass
 class MetricAccumulator:
     """Host-side wrapper with the reference's metric-dict naming."""
