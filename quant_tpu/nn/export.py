@@ -38,6 +38,68 @@ def export_packed_variables(model: Any, variables: dict[str, Any],
     return out
 
 
+def fold_bn_into_packed(model: Any, variables: dict[str, Any],
+                        eps: float = 1e-5) -> dict[str, Any]:
+    """Fold eval-mode BN into the packed conv epilogues (conv->BN blocks).
+
+    Eval BN is the per-out-channel affine a*y + b with
+    a = gamma/sqrt(var+eps), b = beta - mean*a. For a packed conv,
+    a multiplies the per-out-channel scale stack `w_scales` (the conv's
+    existing epilogue) and b (+ a*conv_bias) becomes the fused bias
+    `b_fold` — serving then never executes the BN modules at all
+    (apply the model with bn_fold=True). Defined for the
+    regular/regular_bottleneck families, whose BN FOLLOWS each quantized
+    conv (reference resnet.py:28-97 ordering); the Xnor families put BN
+    before the conv, where the affine feeds the sign quantizer and
+    nothing folds.
+
+    Returns variables with a transformed 'packed_params' collection.
+    """
+    if 'packed_params' not in variables:
+        raise ValueError('fold_bn_into_packed needs packed_params — run '
+                         'export_packed_variables first.')
+    block = getattr(model, 'block', None)
+    if block not in ('regular', 'regular_bottleneck'):
+        raise ValueError(
+            f'BN folding is defined for conv->BN block families '
+            f'(regular/regular_bottleneck), not {block!r}.')
+    import jax.numpy as jnp
+
+    params = variables['params']
+    stats = variables['batch_stats']
+    pp = jax.tree.map(lambda x: x, variables['packed_params'])  # copy
+
+    pairs = [('conv1', 'bn1'), ('conv2', 'bn2')]
+    if block == 'regular_bottleneck':
+        pairs.append(('conv3', 'bn3'))
+
+    for name, node in pp.items():
+        if not (isinstance(node, dict) and name in params):
+            continue
+        for conv, bn in pairs:
+            if conv not in node or 'w_packed' not in node[conv]:
+                continue
+            if bn not in params[name]:
+                raise KeyError(f'{name}/{bn} missing — cannot fold')
+            g = jnp.asarray(params[name][bn]['bn']['scale'])
+            beta = jnp.asarray(params[name][bn]['bn']['bias'])
+            mean = jnp.asarray(stats[name][bn]['bn']['mean'])
+            var = jnp.asarray(stats[name][bn]['bn']['var'])
+            a = g / jnp.sqrt(var + eps)
+            b = beta - mean * a
+            entry = dict(node[conv])
+            entry['w_scales'] = jnp.asarray(entry['w_scales']) * a[None, :]
+            conv_bias = params[name][conv].get('bias')
+            if conv_bias is not None:
+                b = b + a * jnp.asarray(conv_bias)
+            entry['b_fold'] = b
+            node[conv] = entry
+
+    out = dict(variables)
+    out['packed_params'] = pp
+    return out
+
+
 def strip_for_deployment(variables: dict[str, Any]) -> dict[str, Any]:
     """Drop what serving never reads: fp32 kernels and cached weight
     scales of every layer that has packed_params.

@@ -413,6 +413,13 @@ class QuantConv2d(nn.Module):
         if use_packed:
             from quant_tpu.ops import binary_infer as BI
             out_dtype = self.eval_dtype or jnp.float32
+            if self.has_variable('packed_params', 'b_fold'):
+                # Eval-mode BN folded into this conv at export time
+                # (nn/export.py fold_bn_into_packed): w_scales already
+                # carry gamma/sqrt(var+eps) and b_fold is the TOTAL
+                # post-scale bias (beta - mean*a + a*conv_bias) — the
+                # param bias, if any, is already inside it.
+                bias = self.get_variable('packed_params', 'b_fold')
             if self.has_variable('packed_params', 'w_packed'):
                 # Exported deployment: packed sign words + scales were
                 # computed once offline (quant_tpu/nn/export.py) — no

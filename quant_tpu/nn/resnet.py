@@ -70,12 +70,24 @@ class RegularBasicBlock(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    # Serving with export-time BN folding (nn/export.fold_bn_into_packed):
+    # eval-mode BN is a per-out-channel affine that is ALREADY inside the
+    # packed conv's scale epilogue (w_scales *= gamma/sqrt(var+eps),
+    # b_fold) — skip the separate BN pass. conv->BN ordering only; the
+    # Xnor blocks (BN precedes the conv) ignore this flag.
+    bn_fold: bool = False
+
+    def _fold(self, train: bool) -> bool:
+        return (self.bn_fold and not train
+                and self.inference_mode == 'packed'
+                and self.w_quant != 'fp')
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
         dt = self.eval_dtype if not train else self.train_dtype
+        fold = self._fold(train)
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
@@ -89,11 +101,13 @@ class RegularBasicBlock(nn.Module):
         )
         out = QuantConv2d(self.planes, 3, stride=self.stride,
                           name='conv1', **qconv)(x, train)
-        out = _nonlin(self.nonlins[0], 'nonlin1')(
-            BatchNorm(dtype=dt, name='bn1')(out, train))
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn1')(out, train)
+        out = _nonlin(self.nonlins[0], 'nonlin1')(out)
         out = QuantConv2d(self.planes, 3, stride=1,
                           name='conv2', **qconv)(out, train)
-        out = BatchNorm(dtype=dt, name='bn2')(out, train)
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn2')(out, train)
         out = out + _Shortcut(self.planes, self.stride, use_bias=False,
                               dtype=dt, name='shortcut')(x, train)
         return _nonlin(self.nonlins[1], 'nonlin2')(out)
@@ -109,6 +123,10 @@ class XnorBasicBlock(nn.Module):
     nonlins: Sequence[str]
     stride: int = 1
     double_shortcut: bool = False
+    # Accepted for uniform stage kwargs, but a no-op: Xnor ordering puts
+    # BN BEFORE the conv (resnet.py:100-190), where the affine feeds the
+    # sign quantizer and cannot fold into the conv epilogue.
+    bn_fold: bool = False
     clamp: Optional[dict[str, Any]] = None
     moving_average_mode: str = 'off'
     moving_average_momentum: float = 0.99
@@ -182,12 +200,19 @@ class RegularBottleneckBlock(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    bn_fold: bool = False  # see RegularBasicBlock.bn_fold
+
+    def _fold(self, train: bool) -> bool:
+        return (self.bn_fold and not train
+                and self.inference_mode == 'packed'
+                and self.w_quant != 'fp')
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
         dt = self.eval_dtype if not train else self.train_dtype
+        fold = self._fold(train)
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
@@ -201,15 +226,18 @@ class RegularBottleneckBlock(nn.Module):
         )
         out = QuantConv2d(self.planes, 1, stride=1, padding=0,
                           name='conv1', **qconv)(x, train)
-        out = _nonlin(self.nonlins[0], 'nonlin1')(
-            BatchNorm(dtype=dt, name='bn1')(out, train))
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn1')(out, train)
+        out = _nonlin(self.nonlins[0], 'nonlin1')(out)
         out = QuantConv2d(self.planes, 3, stride=self.stride, padding=1,
                           name='conv2', **qconv)(out, train)
-        out = _nonlin(self.nonlins[0], 'nonlin2')(
-            BatchNorm(dtype=dt, name='bn2')(out, train))
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn2')(out, train)
+        out = _nonlin(self.nonlins[0], 'nonlin2')(out)
         out = QuantConv2d(self.planes * self.expansion, 1, stride=1,
                           padding=0, name='conv3', **qconv)(out, train)
-        out = BatchNorm(dtype=dt, name='bn3')(out, train)
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn3')(out, train)
         out = out + _Shortcut(self.planes * self.expansion, self.stride,
                               use_bias=False, dtype=dt,
                               name='shortcut')(x, train)
@@ -233,6 +261,10 @@ class XnorBottleneckBlock(nn.Module):
     nonlins: Sequence[str]
     stride: int = 1
     double_shortcut: bool = False
+    # Accepted for uniform stage kwargs, but a no-op: Xnor ordering puts
+    # BN BEFORE the conv (resnet.py:100-190), where the affine feeds the
+    # sign quantizer and cannot fold into the conv epilogue.
+    bn_fold: bool = False
     clamp: Optional[dict[str, Any]] = None
     moving_average_mode: str = 'off'
     moving_average_momentum: float = 0.99
@@ -318,6 +350,9 @@ class QResNet(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    # Serve with export-time-folded BN (requires packed_params produced
+    # by nn/export.fold_bn_into_packed; regular/bottleneck blocks only).
+    bn_fold: bool = False
     stem_s2d: bool = False
     remat: bool = False
 
@@ -371,6 +406,7 @@ class QResNet(nn.Module):
                 train_dtype=self.train_dtype,
                 pass_fusion=self.pass_fusion,
                 sign_compute=self.sign_compute,
+                bn_fold=self.bn_fold,
                 **cfg,  # e.g. double_shortcut for xnor blocks
             )
             for b in range(self.num_blocks[s]):
