@@ -19,6 +19,46 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _serve_multiprocess(args) -> None:
+    """N engine processes behind the socket RPC + least-loaded frontend
+    (the cross-host serving topology, one process per 'host')."""
+    from quant_tpu.serving import ServingFrontend, spawn_engine_workers
+
+    shape = [args.image_size, args.image_size, 3]
+    if args.experiment:
+        spec = {'model': 'experiment', 'experiment_dir': args.experiment,
+                'input_shape': shape, 'max_batch': 64}
+    else:
+        spec = {'model': 'resnet18_random', 'input_shape': shape,
+                'max_batch': 64, 'seed': 0}
+    print(f'spawning {args.workers} engine processes...')
+    procs, clients = spawn_engine_workers(args.workers, spec)
+    frontend = ServingFrontend(clients).start()
+    try:
+        rng = np.random.default_rng(0)
+        t0 = time.perf_counter()
+        futs = [frontend.submit(
+            rng.standard_normal(shape).astype(np.float32))
+            for _ in range(args.requests)]
+        outs = [f.result(timeout=600) for f in futs]
+        dt = time.perf_counter() - t0
+        stats = frontend.stats
+        per = [s['requests'] for s in stats['engines']]
+        print(f'{len(outs)} requests over {args.workers} processes in '
+              f'{dt:.2f}s ({len(outs) / dt:.1f} req/s), per-engine '
+              f'requests={per}, batches={stats["batches"]}')
+        lat = stats.get('latency_ms')
+        if lat:
+            print(f'aggregated latency p50/p99 = {lat["p50"]:.1f}/'
+                  f'{lat["p99"]:.1f} ms')
+    finally:
+        for c in clients:
+            c.shutdown_server()
+            c.stop()
+        for p in procs:
+            p.wait(timeout=60)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument('--config', type=str, default=None,
@@ -26,7 +66,21 @@ def main() -> None:
     parser.add_argument('--checkpoint', type=str, default=None)
     parser.add_argument('--requests', type=int, default=64)
     parser.add_argument('--image-size', type=int, default=224)
+    parser.add_argument('--workers', type=int, default=0,
+                        help='>0: serve across N REAL engine processes '
+                             'behind the socket RPC (serving/rpc.py) '
+                             'with least-loaded dispatch. Each worker '
+                             'owns its own device claim — use on hosts '
+                             'with enough devices, or CPU.')
+    parser.add_argument('--experiment', type=str, default=None,
+                        help='with --workers: experiment dir every '
+                             'worker loads (defaults to a random '
+                             'packed ResNet-18)')
     args = parser.parse_args()
+
+    if args.workers > 0:
+        _serve_multiprocess(args)
+        return
 
     import jax
     import jax.numpy as jnp

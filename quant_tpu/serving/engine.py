@@ -129,6 +129,16 @@ class InferenceEngine:
         return np.concatenate(outs) if outs else np.empty((0,))
 
     @property
+    def load(self) -> int:
+        """Pending request count (least-loaded dispatch key)."""
+        return self._queue.qsize()
+
+    def latency_window(self) -> np.ndarray:
+        """Recent request latencies in seconds (for aggregation)."""
+        with self._lock:
+            return np.asarray(self._latencies)
+
+    @property
     def stats(self) -> dict:
         with self._lock:
             out = dict(self._stats)
@@ -199,27 +209,25 @@ class InferenceEngine:
 
 
 class ServingFrontend:
-    """Load balancer over multiple InferenceEngines (the cross-host
+    """Load balancer over multiple serving backends (the cross-host
     serving contract).
 
-    Each host runs one engine (its own process/mesh) loaded from the SAME
-    checkpoint; the frontend is pure dispatch and owns no model state.
-    Contract:
+    A backend is anything with the engine surface — submit(image) ->
+    Future, load (pending count), stats, latency_window() — i.e. a local
+    `InferenceEngine` (colocated frontend) or a `RemoteEngineClient`
+    (serving/rpc.py) fronting an engine in ANOTHER PROCESS/host over the
+    socket RPC. All backends must serve identical variables (checkpoint
+    hash verification is the deployer's responsibility). Contract:
       * `submit` routes to the least-loaded backend (pending-request
         count, ties broken round-robin) — continuous batching then
         happens independently inside each engine;
-      * backends are interchangeable: any request may land on any host,
-        so all engines must serve identical variables (checkpoint hash
-        verification is the deployer's responsibility);
       * a backend raising on a batch fails only its own futures; the
-        frontend keeps dispatching to the remaining engines.
-
-    In a real multi-host deployment the engines sit behind RPC stubs with
-    this same submit(image) -> Future surface; here they are in-process,
-    which is exactly how a per-host colocated frontend runs.
+        frontend keeps dispatching to the remaining engines;
+      * `stats` aggregates request/batch counts AND the latency
+        percentiles over the union of the backends' recent windows.
     """
 
-    def __init__(self, engines: Sequence[InferenceEngine]):
+    def __init__(self, engines: Sequence):
         if not engines:
             raise ValueError('ServingFrontend needs at least one engine')
         self.engines = list(engines)
@@ -235,9 +243,9 @@ class ServingFrontend:
         for e in self.engines:
             e.stop()
 
-    def _pick(self) -> InferenceEngine:
+    def _pick(self):
         with self._lock:
-            loads = [e._queue.qsize() for e in self.engines]
+            loads = [e.load for e in self.engines]
             lo = min(loads)
             n = len(self.engines)
             for off in range(n):
@@ -259,6 +267,17 @@ class ServingFrontend:
     @property
     def stats(self) -> dict:
         per = [e.stats for e in self.engines]
-        return {'engines': per,
-                'requests': sum(s['requests'] for s in per),
-                'batches': sum(s['batches'] for s in per)}
+        out = {'engines': per,
+               'requests': sum(s['requests'] for s in per),
+               'batches': sum(s['batches'] for s in per)}
+        windows = [w for w in (e.latency_window() for e in self.engines)
+                   if w.size]
+        if windows:
+            lats = np.concatenate(windows)
+            out['latency_ms'] = {
+                'p50': float(np.percentile(lats, 50) * 1e3),
+                'p99': float(np.percentile(lats, 99) * 1e3),
+                'max': float(lats.max() * 1e3),
+                'window': int(lats.size),
+            }
+        return out

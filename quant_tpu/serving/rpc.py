@@ -1,0 +1,231 @@
+"""Cross-process serving: engines behind a minimal socket RPC.
+
+The north star asks for "continuous batching of inference requests
+across hosts". `InferenceEngine` batches inside one process; this module
+puts engines behind a REAL process boundary:
+
+* `EngineServer` — wraps an engine in a threaded TCP server speaking a
+  length-prefixed pickle protocol (submit / stats / latencies / ping /
+  shutdown). Concurrent client requests become concurrent queue entries,
+  so the engine's continuous batching works exactly as in-process.
+* `RemoteEngineClient` — submit(image) -> Future over a connection pool;
+  tracks in-flight count (`load`) for least-loaded dispatch.
+* `ServingFrontend` (serving/engine.py) accepts clients and engines
+  interchangeably — anything with submit()/load/stats.
+
+Trust model: the protocol is pickle over TCP for INTERNAL cluster use
+(engines and frontends under one deployment's control), mirroring the
+trust the pod training platform places in its workers. Do not expose
+the port publicly.
+
+Wire format: 8-byte big-endian length + pickle payload, both ways.
+"""
+
+import logging
+import pickle
+import socket
+import socketserver
+import struct
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_HDR = struct.Struct('>Q')
+
+
+def _send_msg(sock: socket.socket, obj: object) -> None:
+    payload = pickle.dumps(obj, protocol=4)
+    sock.sendall(_HDR.pack(len(payload)) + payload)
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError('peer closed the connection')
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def _recv_msg(sock: socket.socket) -> object:
+    (n,) = _HDR.unpack(_recv_exact(sock, _HDR.size))
+    return pickle.loads(_recv_exact(sock, n))
+
+
+class EngineServer:
+    """Serve one InferenceEngine over TCP; one thread per connection.
+
+    Each connection handles a stream of request dicts:
+      {'op': 'submit', 'image': ndarray}  -> {'ok': True, 'logits': nd}
+      {'op': 'stats'}                     -> {'ok': True, 'stats': dict}
+      {'op': 'latencies'}                 -> {'ok': True,
+                                              'latencies': ndarray}
+      {'op': 'ping'}                      -> {'ok': True}
+      {'op': 'shutdown'}                  -> {'ok': True} then stops
+    Errors come back as {'ok': False, 'error': str}.
+    """
+
+    def __init__(self, engine, host: str = '127.0.0.1', port: int = 0):
+        self.engine = engine
+        outer = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:  # one connection, many requests
+                sock = self.request
+                while True:
+                    try:
+                        req = _recv_msg(sock)
+                    except (ConnectionError, EOFError, OSError):
+                        return
+                    try:
+                        _send_msg(sock, outer._dispatch(req))
+                    except (ConnectionError, OSError):
+                        return
+                    if req.get('op') == 'shutdown':
+                        return
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._server = Server((host, port), Handler)
+        self.address = self._server.server_address
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+        self._shutdown_evt = threading.Event()
+
+    def _dispatch(self, req: dict) -> dict:
+        try:
+            op = req.get('op')
+            if op == 'submit':
+                fut = self.engine.submit(np.asarray(req['image']))
+                return {'ok': True, 'logits': fut.result(timeout=600)}
+            if op == 'stats':
+                return {'ok': True, 'stats': self.engine.stats}
+            if op == 'latencies':
+                return {'ok': True, 'latencies': np.asarray(
+                    getattr(self.engine, '_latencies', []))}
+            if op == 'ping':
+                return {'ok': True}
+            if op == 'shutdown':
+                self._shutdown_evt.set()
+                return {'ok': True}
+            return {'ok': False, 'error': f'unknown op {op!r}'}
+        except Exception as e:  # noqa: BLE001 — errors cross the wire
+            return {'ok': False, 'error': f'{type(e).__name__}: {e}'}
+
+    def start(self) -> 'EngineServer':
+        self.engine.start()
+        self._thread.start()
+        return self
+
+    def wait_for_shutdown(self, timeout: Optional[float] = None) -> bool:
+        return self._shutdown_evt.wait(timeout)
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+        self.engine.stop()
+
+
+class RemoteEngineClient:
+    """submit(image) -> Future against a remote EngineServer.
+
+    A pool of persistent connections; each submit borrows one for the
+    round trip (server-side the request parks in the engine queue, so
+    concurrent borrows = concurrent batchable requests). `load` counts
+    in-flight requests for the frontend's least-loaded dispatch.
+    """
+
+    def __init__(self, host: str, port: int, pool_size: int = 16,
+                 connect_timeout: float = 30.0):
+        self.host, self.port = host, port
+        self._pool: list[socket.socket] = []
+        self._pool_lock = threading.Lock()
+        self._pool_size = pool_size
+        self._executor = ThreadPoolExecutor(max_workers=pool_size)
+        self._inflight = 0
+        self._timeout = connect_timeout
+        # Fail fast on a dead backend.
+        self._call({'op': 'ping'})
+
+    # -- connection pool --
+    def _connect(self) -> socket.socket:
+        sock = socket.create_connection((self.host, self.port),
+                                        timeout=self._timeout)
+        sock.settimeout(600)
+        return sock
+
+    def _borrow(self) -> socket.socket:
+        with self._pool_lock:
+            if self._pool:
+                return self._pool.pop()
+        return self._connect()
+
+    def _give_back(self, sock: socket.socket) -> None:
+        with self._pool_lock:
+            if len(self._pool) < self._pool_size:
+                self._pool.append(sock)
+                return
+        sock.close()
+
+    def _call(self, req: dict) -> dict:
+        sock = self._borrow()
+        try:
+            _send_msg(sock, req)
+            resp = _recv_msg(sock)
+        except Exception:
+            sock.close()
+            raise
+        self._give_back(sock)
+        if not resp.get('ok'):
+            raise RuntimeError(
+                f'engine {self.host}:{self.port}: {resp.get("error")}')
+        return resp
+
+    # -- engine-compatible surface --
+    def start(self) -> 'RemoteEngineClient':
+        return self
+
+    def stop(self) -> None:
+        self._executor.shutdown(wait=False)
+        with self._pool_lock:
+            for s in self._pool:
+                s.close()
+            self._pool.clear()
+
+    @property
+    def load(self) -> int:
+        return self._inflight
+
+    def submit(self, image: np.ndarray) -> Future:
+        with self._pool_lock:
+            self._inflight += 1
+
+        def call():
+            try:
+                return self._call({'op': 'submit',
+                                   'image': np.asarray(image)})['logits']
+            finally:
+                with self._pool_lock:
+                    self._inflight -= 1
+
+        return self._executor.submit(call)
+
+    @property
+    def stats(self) -> dict:
+        return self._call({'op': 'stats'})['stats']
+
+    def latency_window(self) -> np.ndarray:
+        return np.asarray(self._call({'op': 'latencies'})['latencies'])
+
+    def shutdown_server(self) -> None:
+        try:
+            self._call({'op': 'shutdown'})
+        except Exception:  # server may die before replying fully
+            pass
