@@ -32,10 +32,8 @@ import tempfile
 import time
 from typing import Optional
 
-import numpy as np
 
-
-def build_engine_from_spec(spec: dict):
+def build_engine_from_spec(spec: dict) -> 'object':
     """Construct the InferenceEngine a worker serves."""
     import jax
     import jax.numpy as jnp
@@ -156,7 +154,7 @@ def main(argv: Optional[list] = None) -> None:
 
 def spawn_engine_workers(n: int, spec: dict,
                          env: Optional[dict] = None,
-                         timeout: float = 180.0):
+                         timeout: float = 180.0) -> tuple:
     """Start n worker processes; returns (procs, clients) once every
     worker is listening. Caller owns shutdown (client.shutdown_server()
     then proc.wait())."""

@@ -7,7 +7,6 @@ SAME seed, so a locally-built identical model gives the expected logits
 for every request regardless of which backend served it."""
 
 import numpy as np
-import pytest
 
 from quant_tpu.serving import (
     EngineServer, InferenceEngine, RemoteEngineClient, ServingFrontend,

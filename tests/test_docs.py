@@ -18,7 +18,7 @@ import gen_docs  # noqa: E402
 
 
 def test_rst_covers_every_package_module():
-    listed = {m for _, mods in gen_docs.parse_rst_tree(REPO / 'doc')
+    listed = {m for _, _, mods in gen_docs.parse_rst_tree(REPO / 'doc')
               for m in mods}
     on_disk = {
         str(p.relative_to(REPO)).replace('/', '.').removesuffix('.py')
@@ -27,11 +27,11 @@ def test_rst_covers_every_package_module():
         if p.name != '__init__.py' and not p.name.startswith('_')
     }
     missing = on_disk - listed
-    assert not missing, f'modules absent from doc/quant_tpu.rst: {missing}'
+    assert not missing, f'modules absent from the doc/ pages: {missing}'
 
 
 def test_rst_modules_all_import():
-    for _, mods in gen_docs.parse_rst_tree(REPO / 'doc'):
+    for _, _, mods in gen_docs.parse_rst_tree(REPO / 'doc'):
         for name in mods:
             importlib.import_module(name)
 

@@ -33,18 +33,34 @@ code { background: #f2f2f2; padding: 0 0.2em; }
 
 
 def parse_rst_tree(doc_dir: Path):
-    """(section_title, [module, ...]) pairs from doc/quant_tpu.rst."""
-    text = (doc_dir / 'quant_tpu.rst').read_text()
-    sections = []
-    # Split on section headers (underlined with -), keep order.
-    parts = re.split(r'\n(?=[^\s].*\n-+\n)', text)
-    for part in parts:
-        m = _SECTION.match(part)
-        mods = _AUTOMODULE.findall(part)
-        if mods:
-            title = m.group(1).strip() if m else 'API'
-            sections.append((title, mods))
-    return sections
+    """(page_title, intro_text, [module, ...]) triples from the
+    per-package pages listed in doc/index.rst (reference doc/ layout:
+    one narrative page per package)."""
+    order = []
+    for line in (doc_dir / 'index.rst').read_text().splitlines():
+        name = line.strip()
+        if re.fullmatch(r'[a-z_]+', name) and name != 'release_notes' \
+                and (doc_dir / f'{name}.rst').exists():
+            order.append(name)
+    pages = []
+    for name in order:
+        text = (doc_dir / f'{name}.rst').read_text()
+        mods = _AUTOMODULE.findall(text)
+        if not mods:
+            continue
+        m = re.search(r'^(.+)\n=+\n', text, re.M)
+        title = m.group(1).strip() if m else name
+        # Narrative intro: prose between the page title and the first
+        # directive/section underline.
+        body = text[m.end():] if m else text
+        intro_lines = []
+        for ln in body.splitlines():
+            if ln.startswith('..') or re.fullmatch(r'[-~^]+', ln.strip()):
+                break
+            intro_lines.append(ln)
+        intro = ' '.join(x.strip() for x in intro_lines).strip()
+        pages.append((title, intro, mods))
+    return pages
 
 
 def render(out_dir: Path) -> int:
@@ -53,7 +69,7 @@ def render(out_dir: Path) -> int:
     html_doc = pydoc.HTMLDoc()
     n = 0
     index_items = []
-    for title, mods in sections:
+    for title, intro, mods in sections:
         links = []
         for name in mods:
             mod = importlib.import_module(name)
@@ -62,8 +78,9 @@ def render(out_dir: Path) -> int:
             links.append(f'<li><a href="{name}.html"><code>{name}</code>'
                          f'</a> — {escape(_first_line(mod))}</li>')
             n += 1
-        index_items.append(f'<h2>{escape(title)}</h2>\n<ul>\n'
-                           + '\n'.join(links) + '\n</ul>')
+        index_items.append(
+            f'<h2>{escape(title)}</h2>\n<p>{escape(intro)}</p>\n<ul>\n'
+            + '\n'.join(links) + '\n</ul>')
 
     version = importlib.import_module('quant_tpu').__version__
     index = (f'<!doctype html><html><head><meta charset="utf-8">'
