@@ -56,13 +56,14 @@ PEAK_BF16_TFLOPS = 161.2
 RESNET18_GFLOPS = 3.64
 
 
-def _resnet18(x_quant: str, w_quant: str, **kwargs):
+def _resnet18(x_quant: str, w_quant: str, block: str = 'xnor', **kwargs):
     from quant_tpu.nn import QResNet
     layer = {'x_quant': x_quant, 'w_quant': w_quant,
-             'clamp': {'kind': 'symmetric', 'alpha': 2.0},
-             'double_shortcut': True}
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0}}
+    if block == 'xnor':
+        layer['double_shortcut'] = True
     return QResNet(
-        block='xnor',
+        block=block,
         layer0={'n_in_channels': 64, 'kernel_size': 7, 'stride': 2,
                 'padding': 3, 'bias': False,
                 'maxpool': {'type': 'maxpool2d', 'kernel_size': 3,
@@ -170,6 +171,25 @@ def main() -> None:
     with jax.default_matmul_precision('highest'):
         ips_fp = _throughput(fp.apply, vf, x)
 
+    # The conv->BN ('regular') family: the reference's OWN fp baseline
+    # architecture (imagenet_fp.yaml block: regular). Its binary variant
+    # runs faster than the xnor ordering (no pre-conv BN pass / double
+    # shortcut); reported against its own fp32 run for an
+    # apples-to-apples second ratio.
+    reg = _resnet18('ls-1', 'ls-1', block='regular',
+                    moving_average_mode='eval_only')
+    vr = dict(reg.init(key, x[:2], True))
+    vr['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
+                                     vr.get('quant_state', {}))
+    packed_reg = reg.clone(inference_mode='packed',
+                           eval_dtype=jnp.bfloat16, sign_compute='int8')
+    ips_reg = _throughput(packed_reg.apply, vr, x)
+
+    fp_reg = _resnet18('fp', 'fp', block='regular')
+    vfr = fp_reg.init(key, x[:2], True)
+    with jax.default_matmul_precision('highest'):
+        ips_fp_reg = _throughput(fp_reg.apply, vfr, x)
+
     ips_train = _train_throughput(key)
 
     def mfu(ips: float) -> float:
@@ -184,6 +204,9 @@ def main() -> None:
             'ls2_ls1_images_per_sec': round(ips_ls2, 2),
             'ls2_ls1_vs_baseline': round(ips_ls2 / ips_fp, 3),
             'fp32_images_per_sec': round(ips_fp, 2),
+            'regular_ls1_images_per_sec': round(ips_reg, 2),
+            'regular_fp32_images_per_sec': round(ips_fp_reg, 2),
+            'regular_vs_baseline': round(ips_reg / ips_fp_reg, 3),
             'mfu_binary': round(mfu(ips_binary), 4),
             'mfu_ls2': round(mfu(ips_ls2), 4),
             'peak_bf16_tflops': PEAK_BF16_TFLOPS,
