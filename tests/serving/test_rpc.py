@@ -157,3 +157,92 @@ def test_local_engine_still_works_with_frontend(tmp_path):
         assert 'latency_ms' in frontend.stats
     finally:
         frontend.stop()
+
+
+def test_worker_serves_trained_experiment(tmp_path):
+    """The 'experiment' worker spec: train a tiny run through the real
+    task, then serve its checkpoint from a worker PROCESS — responses
+    must match the local packed+folded eval of the same checkpoint."""
+    import jax.numpy as jnp
+
+    from quant_tpu.experiment import Experiment
+    from quant_tpu.serving.worker import build_engine_from_spec
+    from quant_tpu.train.task import classification_task
+
+    cfg = {
+        'seed': 2,
+        'environment': {'nchips': 1},
+        'data': {'dataset': 'synthetic', 'train_batch_size': 16,
+                 'test_batch_size': 16, 'train_size': 32, 'test_size': 16},
+        'model': {'architecture': 'lenet5', 'loss': 'nll_loss',
+                  'arch_config': {'conv1_filters': 2, 'conv2_filters': 2,
+                                  'x_quant': 'ls-1', 'w_quant': 'ls-1'}},
+        'optimization': {'epochs': 1,
+                         'optimizer': {'algorithm': 'sgd', 'lr': 0.05},
+                         'lr_scheduler': {'scheduler': 'step_lr',
+                                          'step_size': 1, 'gamma': 1.0}},
+        'log': {'level': 'WARNING', 'interval': 100, 'save_model_freq': 1,
+                'tensorboard': False,
+                'root_experiments_dir': str(tmp_path / 'experiments')},
+        'experiment_name': 'servexp',
+    }
+    Experiment(classification_task, cfg).run()
+    exp_dir = tmp_path / 'experiments' / 'servexp'
+
+    spec = {'model': 'experiment', 'experiment_dir': str(exp_dir),
+            'input_shape': [28, 28, 1], 'max_batch': 8, 'warmup': False}
+    procs, clients = spawn_engine_workers(1, spec, env=_ENV)
+    try:
+        rng = np.random.default_rng(1)
+        images = rng.standard_normal((5, 28, 28, 1)).astype(np.float32)
+        outs = np.stack([clients[0].submit(img).result(timeout=300)
+                         for img in images])
+        # Local oracle: same spec builder, in-process.
+        engine = build_engine_from_spec(spec)
+        expected = np.asarray(engine.apply_fn(
+            engine.variables, jnp.asarray(images), False))
+        np.testing.assert_allclose(outs, expected, rtol=1e-4, atol=1e-4)
+    finally:
+        for c in clients:
+            c.shutdown_server()
+            c.stop()
+        for p in procs:
+            p.wait(timeout=60)
+
+
+def test_frontend_keeps_dispatching_after_backend_error():
+    """A backend whose submits fail poisons only its own futures; the
+    frontend keeps serving through the healthy backend."""
+    from concurrent.futures import Future
+
+    class Healthy:
+        load = 0
+
+        def start(self):
+            return self
+
+        def stop(self):
+            pass
+
+        def submit(self, image):
+            f = Future()
+            f.set_result(np.ones(1))
+            return f
+
+        def latency_window(self):
+            return np.asarray([])
+
+        stats = {'requests': 0, 'batches': 0}
+
+    class Broken(Healthy):
+        def submit(self, image):
+            f = Future()
+            f.set_exception(RuntimeError('engine died'))
+            return f
+
+    frontend = ServingFrontend([Broken(), Healthy()])
+    results = [frontend.submit(np.zeros(1)) for _ in range(4)]
+    ok = [r for r in results if r.exception() is None]
+    bad = [r for r in results if r.exception() is not None]
+    assert len(ok) == 2 and len(bad) == 2  # round-robin over equal loads
+    np.testing.assert_allclose(ok[0].result(), [1.0])
