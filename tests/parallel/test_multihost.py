@@ -231,3 +231,8 @@ def test_collective_any_multiprocess_allgathers():
                            fake_allgather):
         assert multihost.collective_any(False) is True
     assert calls == [False]
+
+
+def test_make_mesh_rejects_oversized_grid():
+    with pytest.raises(ValueError, match='devices'):
+        make_mesh(data=len(jax.devices()), model=2)

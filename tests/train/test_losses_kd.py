@@ -80,3 +80,52 @@ def test_kd_gradient_flows_to_student_only():
                                           freeze_teacher=True))(t)
     assert float(jnp.sum(jnp.abs(g_t))) == 0.0
     assert g_s.shape == s.shape
+
+
+def test_per_sample_forms_mean_to_the_reduced_loss():
+    """Every built-in loss carries a .per_sample form whose mean equals
+    the reduced loss — the contract the masked eval path relies on."""
+    import numpy as np
+
+    from quant_tpu.train.losses import cross_entropy, kl_div, nll_loss
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((6, 5)), jnp.float32)
+    logp = jax.nn.log_softmax(logits)
+    target = jnp.asarray(rng.integers(0, 5, 6))
+    probs = jax.nn.softmax(jnp.asarray(
+        rng.standard_normal((6, 5)), jnp.float32))
+
+    for fn, out, tgt in ((cross_entropy, logits, target),
+                         (nll_loss, logp, target),
+                         (kl_div, logp, probs)):
+        ps = fn.per_sample(out, tgt)
+        assert ps.shape == (6,)
+        np.testing.assert_allclose(float(jnp.mean(ps)),
+                                   float(fn(out, tgt)), rtol=1e-6)
+
+
+def test_masked_eval_step_ignores_sentinel_rows():
+    """make_eval_step with a built-in loss excludes target=-1 rows from
+    every accumulator (loss, top-1, top-k, count)."""
+    import numpy as np
+    import optax
+
+    from quant_tpu.train.engine import make_eval_step
+    from quant_tpu.train.losses import get_loss_fn
+    from quant_tpu.train.metrics import init_metric_state
+    from quant_tpu.train.state import TrainState
+
+    def apply_fn(variables, data, train):
+        return data
+
+    state = TrainState.create(apply_fn, {'params': {}}, optax.identity())
+    step = make_eval_step(get_loss_fn('cross_entropy'))
+    logits = jnp.asarray(np.eye(4, 3, dtype=np.float32) * 3)
+    target = jnp.asarray([0, 1, -1, -1])  # 2 real rows, 2 padded
+    ms, _ = step(state, logits, target, init_metric_state())
+    assert float(ms['count']) == 2.0
+    assert float(ms['top1']) == 2.0
+    # Loss sum covers only the 2 real rows.
+    expected = -2 * float(jax.nn.log_softmax(logits[0])[0])
+    np.testing.assert_allclose(float(ms['loss_sum']), expected, rtol=1e-5)
