@@ -351,6 +351,12 @@ class QuantConv2d(nn.Module):
     # exactly; scales round to bf16 — extra noise ~0.4%, within QAT's
     # own regime. Halves feature-map/operand HBM bytes end-to-end.
     train_dtype: Optional[Any] = None
+    # Set by the conv->BN blocks when serving with export-time-folded
+    # BN: the conv consumes packed_params.b_fold and the a-scaled
+    # w_scales; mismatches (folded variables without the flag, or the
+    # flag without folded variables) raise instead of silently applying
+    # BN twice / not at all.
+    bn_folded: bool = False
     # Sign-plane conv operand dtype for the packed path: 'int8' (s32
     # accumulation, ~1.5x MXU rate where the toolchain lowers s8 convs,
     # always bit-exact, but loops distinct-scale plane pairs), 'bf16'
@@ -413,7 +419,18 @@ class QuantConv2d(nn.Module):
         if use_packed:
             from quant_tpu.ops import binary_infer as BI
             out_dtype = self.eval_dtype or jnp.float32
-            if self.has_variable('packed_params', 'b_fold'):
+            has_fold = self.has_variable('packed_params', 'b_fold')
+            if self.bn_folded and not has_fold:
+                raise ValueError(
+                    'bn_fold serving requested but packed_params carry '
+                    'no b_fold — run nn.export.fold_bn_into_packed on '
+                    'the exported variables first.')
+            if has_fold and not self.bn_folded:
+                raise ValueError(
+                    'packed_params are BN-folded but the model was not '
+                    'cloned with bn_fold=True — applying them through '
+                    'the unfolded model would run BN twice.')
+            if has_fold:
                 # Eval-mode BN folded into this conv at export time
                 # (nn/export.py fold_bn_into_packed): w_scales already
                 # carry gamma/sqrt(var+eps) and b_fold is the TOTAL

@@ -97,6 +97,7 @@ class RegularBasicBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            bn_folded=fold,
             use_bias=False, padding=1,
         )
         out = QuantConv2d(self.planes, 3, stride=self.stride,
@@ -222,6 +223,7 @@ class RegularBottleneckBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            bn_folded=fold,
             use_bias=False,
         )
         out = QuantConv2d(self.planes, 1, stride=1, padding=0,

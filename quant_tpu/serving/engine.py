@@ -266,12 +266,27 @@ class ServingFrontend:
 
     @property
     def stats(self) -> dict:
-        per = [e.stats for e in self.engines]
+        # A dead backend must not take down the monitoring surface:
+        # dispatch keeps working through the healthy engines, and stats
+        # reports the failure inline instead of raising.
+        per = []
+        for e in self.engines:
+            try:
+                per.append(e.stats)
+            except Exception as err:  # noqa: BLE001 — report, don't die
+                per.append({'requests': 0, 'batches': 0,
+                            'error': f'{type(err).__name__}: {err}'})
         out = {'engines': per,
                'requests': sum(s['requests'] for s in per),
                'batches': sum(s['batches'] for s in per)}
-        windows = [w for w in (e.latency_window() for e in self.engines)
-                   if w.size]
+        windows = []
+        for e in self.engines:
+            try:
+                w = e.latency_window()
+            except Exception:  # noqa: BLE001
+                continue
+            if w.size:
+                windows.append(w)
         if windows:
             lats = np.concatenate(windows)
             out['latency_ms'] = {

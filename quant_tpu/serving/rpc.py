@@ -108,8 +108,13 @@ class EngineServer:
             if op == 'stats':
                 return {'ok': True, 'stats': self.engine.stats}
             if op == 'latencies':
-                return {'ok': True, 'latencies': np.asarray(
-                    getattr(self.engine, '_latencies', []))}
+                # latency_window() copies under the engine lock; the
+                # raw deque mutates concurrently in the scheduler
+                # thread.
+                win = getattr(self.engine, 'latency_window', None)
+                lats = win() if callable(win) else np.asarray(
+                    getattr(self.engine, '_latencies', []))
+                return {'ok': True, 'latencies': np.asarray(lats)}
             if op == 'ping':
                 return {'ok': True}
             if op == 'shutdown':

@@ -176,7 +176,8 @@ def spawn_engine_workers(n: int, spec: dict,
             [sys.executable, '-c',
              'from quant_tpu.serving.worker import main; main()',
              '--spec', str(spec_path), '--port-file', pf],
-            env=full_env, cwd='/root/repo'))
+            env=full_env,
+            cwd=str(pathlib.Path(__file__).resolve().parents[2])))
     deadline = time.monotonic() + timeout
     ports = []
     for pf, proc in zip(port_files, procs):

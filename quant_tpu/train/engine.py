@@ -15,6 +15,7 @@ TPU-native replacement for the reference's nn.DataParallel,
 initialization.py:125-127).
 """
 
+import inspect
 import logging
 from typing import Any, Callable, Iterable, Optional
 
@@ -30,6 +31,18 @@ from quant_tpu.train.state import TrainState
 logger = logging.getLogger(__name__)
 
 Hook = Callable[..., None]
+
+
+def _accepts_metrics(hook: Hook) -> bool:
+    """Old-protocol hooks (epoch, global_step, values_dict,
+    log_interval) keep working: the live-metrics kwarg is only passed
+    to hooks that declare it (or **kwargs)."""
+    try:
+        params = inspect.signature(hook).parameters.values()
+    except (TypeError, ValueError):  # builtins/mocks: assume permissive
+        return True
+    return any(p.kind == p.VAR_KEYWORD or p.name == 'metrics'
+               for p in params)
 
 
 def _mutable_collections(state: TrainState) -> list[str]:
@@ -149,6 +162,7 @@ def train_epoch(train_step: Callable, state: TrainState,
     true the epoch ends early with the metrics accumulated so far.
     """
     hooks = hooks or []
+    hook_metrics_ok = [_accepts_metrics(h) for h in hooks]
     metrics = MetricAccumulator()
     metric_state = metrics.state
     seen = 0
@@ -172,14 +186,17 @@ def train_epoch(train_step: Callable, state: TrainState,
             # Live accumulators ride along so the TB hook logs the real
             # train metrics every log_interval (reference
             # visualization.py:45-62); the hook computes them only when
-            # its interval gate passes.
+            # its interval gate passes. Old-signature hooks (no
+            # metrics/**kwargs) are called without the new kwarg.
             metrics.state = metric_state
             lr = (float(lr_schedule(host_step - 1))
                   if lr_schedule else None)
-            for hook in hooks:
+            for hook, with_metrics in zip(hooks, hook_metrics_ok):
+                kw = ({'metrics': {'train': metrics}}
+                      if with_metrics else {})
                 hook(epoch=epoch, global_step=global_step,
                      values_dict={'lr': lr}, log_interval=log_interval,
-                     metrics={'train': metrics})
+                     **kw)
         if batch_idx % log_interval == 0:
             logger.info('Train Epoch: %d [%d/%s]\tBatch Loss: %.6f',
                         epoch, seen, n_total or '?', float(loss))
@@ -230,7 +247,8 @@ def evaluate(eval_step: Callable, state: TrainState, loader: Iterable,
     for hook in hooks:
         # Post-loop hooks receive the epoch's computed test metrics
         # (reference visualization.py:64-77 logs them once per epoch).
-        hook(epoch=epoch, global_step=batch_idx + 1,
-             metrics={'test': metrics})
+        kw = ({'metrics': {'test': metrics}}
+              if _accepts_metrics(hook) else {})
+        hook(epoch=epoch, global_step=batch_idx + 1, **kw)
     logger.info('Test set evaluation metrics: %s', computed)
     return computed

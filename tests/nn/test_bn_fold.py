@@ -90,3 +90,20 @@ def test_bn_fold_requires_packed_params():
     model = _model('regular')
     with pytest.raises(ValueError, match='packed_params'):
         fold_bn_into_packed(model, {'params': {}})
+
+
+def test_fold_mismatch_raises_both_ways():
+    """Folded variables through an unfolded model (BN would apply
+    twice) and bn_fold=True without folded variables both raise."""
+    rng = np.random.default_rng(1)
+    model = _model('regular')
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    variables = _perturb_bn(model.init(jax.random.key(0), x, True), rng)
+    packed = model.clone(inference_mode='packed')
+    pvars = export_packed_variables(packed, variables, x[:1])
+    fvars = fold_bn_into_packed(packed, pvars)
+
+    with pytest.raises(ValueError, match='bn_fold=True'):
+        packed.apply(fvars, x, False)  # folded vars, unfolded model
+    with pytest.raises(ValueError, match='b_fold'):
+        packed.clone(bn_fold=True).apply(pvars, x, False)

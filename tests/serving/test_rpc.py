@@ -246,3 +246,42 @@ def test_frontend_keeps_dispatching_after_backend_error():
     bad = [r for r in results if r.exception() is not None]
     assert len(ok) == 2 and len(bad) == 2  # round-robin over equal loads
     np.testing.assert_allclose(ok[0].result(), [1.0])
+
+
+def test_frontend_stats_survive_dead_backend():
+    """One backend raising on stats/latency_window must not take down
+    the aggregate monitoring surface (review finding r4)."""
+    from concurrent.futures import Future
+
+    class Healthy:
+        load = 0
+
+        def start(self):
+            return self
+
+        def stop(self):
+            pass
+
+        def submit(self, image):
+            f = Future()
+            f.set_result(np.ones(1))
+            return f
+
+        def latency_window(self):
+            return np.asarray([0.001])
+
+        stats = {'requests': 3, 'batches': 1}
+
+    class Dead(Healthy):
+        @property
+        def stats(self):
+            raise ConnectionRefusedError('engine gone')
+
+        def latency_window(self):
+            raise ConnectionRefusedError('engine gone')
+
+    frontend = ServingFrontend([Dead(), Healthy()])
+    stats = frontend.stats  # must not raise
+    assert stats['requests'] == 3
+    assert any('error' in s for s in stats['engines'])
+    assert stats['latency_ms']['window'] == 1

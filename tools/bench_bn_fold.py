@@ -38,7 +38,7 @@ def record(**kv):
     print(json.dumps(kv), flush=True)
 
 
-def _throughput(apply_fn, variables, x, iters):
+def throughput(apply_fn, variables, x, iters):
     import functools
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -58,25 +58,9 @@ def _throughput(apply_fn, variables, x, iters):
     return x.shape[0] * UNROLL * iters / (time.perf_counter() - t0)
 
 
-def _resnet18_block(block, x_quant, w_quant):
-    from quant_tpu.nn import QResNet
-    layer = {'x_quant': x_quant, 'w_quant': w_quant,
-             'clamp': {'kind': 'symmetric', 'alpha': 2.0}}
-    if block == 'xnor':
-        layer['double_shortcut'] = True
-    return QResNet(
-        block=block,
-        layer0={'n_in_channels': 64, 'kernel_size': 7, 'stride': 2,
-                'padding': 3, 'bias': False,
-                'maxpool': {'type': 'maxpool2d', 'kernel_size': 3,
-                            'stride': 2, 'padding': 1}},
-        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
-        layer4=dict(layer),
-        nonlins=['prelu', 'prelu'], num_blocks=[2, 2, 2, 2],
-        output_classes=1000, moving_average_mode='eval_only')
-
-
 def main():
+    from bench import _resnet18
+
     from quant_tpu.nn.export import (
         export_packed_variables, fold_bn_into_packed,
     )
@@ -86,20 +70,21 @@ def main():
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
 
     for block in ('regular', 'xnor'):
-        m = _resnet18_block(block, 'ls-1', 'ls-1')
+        m = _resnet18('ls-1', 'ls-1', block=block,
+                      moving_average_mode='eval_only')
         v = dict(m.init(key, x[:2], True))
         v['quant_state'] = jax.tree.map(lambda t: jnp.full_like(t, 0.5),
                                         v.get('quant_state', {}))
         packed = m.clone(inference_mode='packed',
                          eval_dtype=jnp.bfloat16, sign_compute='int8')
         pv = export_packed_variables(packed, v, x[:1])
-        ips = _throughput(packed.apply, pv, x, iters)
+        ips = throughput(packed.apply, pv, x, iters)
         record(config=f'bnfold_{block}_base', batch=batch,
                ips=round(ips, 1))
         if block == 'regular':
             fv = fold_bn_into_packed(packed, pv)
             folded = packed.clone(bn_fold=True)
-            ips_f = _throughput(folded.apply, fv, x, iters)
+            ips_f = throughput(folded.apply, fv, x, iters)
             record(config='bnfold_regular_folded', batch=batch,
                    ips=round(ips_f, 1))
 

@@ -11,48 +11,17 @@ Usage: python tools/bench_regular_family.py [batch] [iters]
 Appends to tools/bench_ab_results.jsonl.
 """
 
-import functools
-import json
 import sys
-import time
 
 sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tools')
 
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_comp_cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
-except Exception:
-    pass
+from measure import enable_compile_cache, record, throughput
 
-RESULTS = '/root/repo/tools/bench_ab_results.jsonl'
-UNROLL = 4
-
-
-def record(**kv):
-    with open(RESULTS, 'a') as f:
-        f.write(json.dumps(kv) + '\n')
-    print(json.dumps(kv), flush=True)
-
-
-def _throughput(apply_fn, variables, x, iters):
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(t):
-        for _ in range(UNROLL):
-            out = apply_fn(variables, t, False)
-            t = t.at[0, 0, 0, 0].add(
-                (1e-12 * jnp.mean(out)).astype(t.dtype))
-        return t
-
-    y = step(jnp.array(x, copy=True))
-    _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = step(y)
-    _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-    return x.shape[0] * UNROLL * iters / (time.perf_counter() - t0)
+enable_compile_cache()
 
 
 def _regular18(x_quant, w_quant, **kw):
@@ -79,7 +48,7 @@ def main():
     fp = _regular18('fp', 'fp')
     vf = fp.init(key, x[:2], True)
     with jax.default_matmul_precision('highest'):
-        ips_fp = _throughput(fp.apply, vf, x, iters)
+        ips_fp = throughput(fp.apply, vf, x, iters)
     record(config='regular_fp32_highest', batch=batch,
            ips=round(ips_fp, 1))
 
@@ -88,7 +57,7 @@ def main():
     v2['quant_state'] = jax.tree.map(lambda t: jnp.full_like(t, 0.5),
                                      v2.get('quant_state', {}))
     packed2 = ls2.clone(inference_mode='packed', eval_dtype=jnp.bfloat16)
-    ips2 = _throughput(packed2.apply, v2, x, iters)
+    ips2 = throughput(packed2.apply, v2, x, iters)
     record(config='regular_ls2_ls1', batch=batch, ips=round(ips2, 1))
 
 

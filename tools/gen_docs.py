@@ -54,8 +54,13 @@ def parse_rst_tree(doc_dir: Path):
         # directive/section underline.
         body = text[m.end():] if m else text
         intro_lines = []
-        for ln in body.splitlines():
-            if ln.startswith('..') or re.fullmatch(r'[-~^]+', ln.strip()):
+        body_lines = body.splitlines()
+        for i, ln in enumerate(body_lines):
+            nxt = body_lines[i + 1] if i + 1 < len(body_lines) else ''
+            if ln.startswith('..') \
+                    or re.fullmatch(r'[-~^]+', ln.strip()) \
+                    or (ln.strip()
+                        and re.fullmatch(r'[-~^]{2,}', nxt.strip() or 'x')):
                 break
             intro_lines.append(ln)
         intro = ' '.join(x.strip() for x in intro_lines).strip()

@@ -18,48 +18,17 @@ Usage: python tools/probe_ls2_variants.py [batch] [iters]
 Appends to tools/bench_ab_results.jsonl.
 """
 
-import functools
-import json
 import sys
-import time
 
 sys.path.insert(0, '/root/repo')
+sys.path.insert(0, '/root/repo/tools')
 
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update('jax_compilation_cache_dir', '/tmp/jax_comp_cache')
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
-except Exception:
-    pass
+from measure import enable_compile_cache, record, throughput
 
-RESULTS = '/root/repo/tools/bench_ab_results.jsonl'
-UNROLL = 4
-
-
-def record(**kv):
-    with open(RESULTS, 'a') as f:
-        f.write(json.dumps(kv) + '\n')
-    print(json.dumps(kv), flush=True)
-
-
-def _throughput(apply_fn, variables, x, iters):
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(t):
-        for _ in range(UNROLL):
-            out = apply_fn(variables, t, False)
-            t = t.at[0, 0, 0, 0].add(
-                (1e-12 * jnp.mean(out)).astype(t.dtype))
-        return t
-
-    y = step(jnp.array(x, copy=True))
-    _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = step(y)
-    _ = jax.device_get(jnp.sum(y[0, 0, 0]))
-    return x.shape[0] * UNROLL * iters / (time.perf_counter() - t0)
+enable_compile_cache()
 
 
 def main():
@@ -79,7 +48,7 @@ def main():
     def run(tag, **clone_kw):
         packed = m.clone(inference_mode='packed',
                          eval_dtype=jnp.bfloat16, **clone_kw)
-        ips = _throughput(packed.apply, v, x, iters)
+        ips = throughput(packed.apply, v, x, iters)
         record(config=f'ls2_variant_{tag}', batch=batch,
                ips=round(ips, 1))
         return ips
