@@ -175,43 +175,57 @@ def main() -> None:
     # architecture (imagenet_fp.yaml block: regular). Its binary variant
     # runs faster than the xnor ordering (no pre-conv BN pass / double
     # shortcut); reported against its own fp32 run for an
-    # apples-to-apples second ratio.
-    reg = _resnet18('ls-1', 'ls-1', block='regular',
-                    moving_average_mode='eval_only')
-    vr = dict(reg.init(key, x[:2], True))
-    vr['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
-                                     vr.get('quant_state', {}))
-    packed_reg = reg.clone(inference_mode='packed',
-                           eval_dtype=jnp.bfloat16, sign_compute='int8')
-    ips_reg = _throughput(packed_reg.apply, vr, x)
+    # apples-to-apples second ratio. Guarded: a failure/timeout in the
+    # secondary family must not sink the headline measurement (compiles
+    # are ~10 min each through this tunnel and do not persist-cache).
+    ips_reg = ips_fp_reg = None
+    try:
+        reg = _resnet18('ls-1', 'ls-1', block='regular',
+                        moving_average_mode='eval_only')
+        vr = dict(reg.init(key, x[:2], True))
+        vr['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
+                                         vr.get('quant_state', {}))
+        packed_reg = reg.clone(inference_mode='packed',
+                               eval_dtype=jnp.bfloat16,
+                               sign_compute='int8')
+        ips_reg = _throughput(packed_reg.apply, vr, x)
 
-    fp_reg = _resnet18('fp', 'fp', block='regular')
-    vfr = fp_reg.init(key, x[:2], True)
-    with jax.default_matmul_precision('highest'):
-        ips_fp_reg = _throughput(fp_reg.apply, vfr, x)
+        fp_reg = _resnet18('fp', 'fp', block='regular')
+        vfr = fp_reg.init(key, x[:2], True)
+        with jax.default_matmul_precision('highest'):
+            ips_fp_reg = _throughput(fp_reg.apply, vfr, x)
+    except Exception:  # pragma: no cover - secondary family only
+        ips_reg = ips_fp_reg = None
 
-    ips_train = _train_throughput(key)
+    try:
+        ips_train = _train_throughput(key)
+    except Exception:  # pragma: no cover - secondary measurement
+        ips_train = None
 
     def mfu(ips: float) -> float:
         return ips * RESNET18_GFLOPS / (PEAK_BF16_TFLOPS * 1e3)
 
+    extras = {
+        'ls2_ls1_images_per_sec': round(ips_ls2, 2),
+        'ls2_ls1_vs_baseline': round(ips_ls2 / ips_fp, 3),
+        'fp32_images_per_sec': round(ips_fp, 2),
+        'mfu_binary': round(mfu(ips_binary), 4),
+        'mfu_ls2': round(mfu(ips_ls2), 4),
+        'peak_bf16_tflops': PEAK_BF16_TFLOPS,
+    }
+    if ips_reg is not None and ips_fp_reg is not None:
+        extras.update(
+            regular_ls1_images_per_sec=round(ips_reg, 2),
+            regular_fp32_images_per_sec=round(ips_fp_reg, 2),
+            regular_vs_baseline=round(ips_reg / ips_fp_reg, 3))
+    if ips_train is not None:
+        extras['train_ls1_amp_images_per_sec'] = round(ips_train, 2)
     print(json.dumps({
         'metric': 'resnet18_binary_infer_images_per_sec',
         'value': round(ips_binary, 2),
         'unit': 'images/sec/chip',
         'vs_baseline': round(ips_binary / ips_fp, 3),
-        'extras': {
-            'ls2_ls1_images_per_sec': round(ips_ls2, 2),
-            'ls2_ls1_vs_baseline': round(ips_ls2 / ips_fp, 3),
-            'fp32_images_per_sec': round(ips_fp, 2),
-            'regular_ls1_images_per_sec': round(ips_reg, 2),
-            'regular_fp32_images_per_sec': round(ips_fp_reg, 2),
-            'regular_vs_baseline': round(ips_reg / ips_fp_reg, 3),
-            'mfu_binary': round(mfu(ips_binary), 4),
-            'mfu_ls2': round(mfu(ips_ls2), 4),
-            'peak_bf16_tflops': PEAK_BF16_TFLOPS,
-            'train_ls1_amp_images_per_sec': round(ips_train, 2),
-        },
+        'extras': extras,
     }))
 
 
