@@ -3,6 +3,10 @@
 Everything in this package is a pure, jittable function over `jnp` arrays —
 no module state, no Python-side control flow on traced values. Quantizer
 state (cached scales, EMA statistics) lives one layer up, in `quant_tpu.nn`.
+
+`ops.pool` is EXPERIMENTAL and deliberately not re-exported here: its
+Pallas stem max-pool measured ~4x slower than XLA's reduce_window on
+this toolchain and no production path calls it (see its docstring).
 """
 
 from quant_tpu.ops.ste import binarize, binary_sign

@@ -209,38 +209,22 @@ def quant_conv2d_infer(x: jax.Array, *,
                        for j in range(k_w)]
 
     if cdt == jnp.int8:
-        if globals().get('_LS2_S8_STACK') and len(w_sign_sets) == 1 \
-                and len(x_planes) > 1:
-            # Experimental (tools/probe_ls2_variants.py): run ALL k_a
-            # sign planes as ONE s8 conv by stacking them on the batch
-            # axis — k_a x rows at the 2x s8 rate, bit-exact, no baked
-            # operand materialized — then recombine with the per-sample
-            # scales.
-            w_signs, vw = w_sign_sets[0]
-            stacked = jnp.concatenate(x_planes, axis=0)
-            y = binary_conv_int8(stacked, w_signs, stride=stride,
-                                 padding=padding)
-            parts = jnp.split(y, len(x_planes), axis=0)
-            acc32 = sum(p * vx.reshape(n, 1, 1, 1).astype(jnp.float32)
-                        for p, vx in zip(parts, x_scales))
-            acc = (acc32 * vw.reshape(1, 1, 1, -1).astype(jnp.float32)
-                   ).astype(out_dtype)
-            if bias is not None:
-                acc = acc + bias.astype(out_dtype)
-            return acc
         # Integer path: every pass is exact; distinct scales can't be
         # baked into int operands, so loop the plane pairs (each pass at
         # the 2x s8 MXU rate) with the f32 scale epilogue per pass.
+        # (A batch-stacked single-s8-conv variant was A/B'd in round 4 —
+        # tools/probe_ls2_variants.py, 14.2k vs the bake's 27.7k img/s —
+        # and removed: the 2x-rows s8 conv is operand-bandwidth-bound.)
         fused = False
     if fused:
         if len(x_planes) == 1:
             x_op, vx_epi = x_planes[0], x_scales[0]
         else:
-            # Bake arithmetic dtype: f32-accumulate-then-downcast by
-            # default; _LS2_BAKE_DTYPE=bf16 is the probed alternative.
-            bake_dt = globals().get('_LS2_BAKE_DTYPE', jnp.float32)
-            xa = sum(vx.reshape(n, 1, 1, 1).astype(bake_dt)
-                     * p.astype(bake_dt)
+            # Bake arithmetic: f32-accumulate, one downcast (a native
+            # bf16-bake variant measured +0.2% = noise in round 4 and
+            # was removed; tools/probe_ls2_variants.py).
+            xa = sum(vx.reshape(n, 1, 1, 1).astype(jnp.float32)
+                     * p.astype(jnp.float32)
                      for p, vx in zip(x_planes, x_scales))
             x_op, vx_epi = xa.astype(SIGN_COMPUTE_DTYPE), None
         if len(w_sign_sets) == 1:

@@ -1,12 +1,16 @@
-"""Pallas fused max-pool for the ResNet stem (3x3 / stride 2 / pad 1).
+"""EXPERIMENTAL (measured-losing): Pallas max-pool for the ResNet stem.
 
-Why this exists: at batch 1024 the ImageNet stem costs 11.4 ms of the
-35 ms packed ResNet-18 forward, and 4.4 ms of that is the maxpool alone
-(tools/probe_r4_results.jsonl: stem_regular 11.39 ms vs stem_nopool
-6.99 ms). XLA's `reduce_window` streams the 112x112x64 map through HBM
-with poor effective bandwidth; this kernel tiles the map through VMEM
-and does the whole separable pool on the VPU, writing only the
-56x56x64 result.
+Status: a documented NEGATIVE result, kept for its Mosaic-lowering
+notes and interpret-mode parity tests — NOT wired into any model. On
+this toolchain the kernel LOSES to XLA's `reduce_window`: at batch
+1024 on the (112,112,64) bf16 stem map the best Mosaic-lowerable form
+runs 43.9 ms vs reduce_window's 11.1 ms standalone and ~4.4 ms
+in-stem, where XLA producer-fuses BN+ReLU into the pool's read
+(tools/probe_r5_results.jsonl pool_*; docs/DESIGN.md "Pallas stem
+maxpool"). The VPU relayout cost of in-register W-decimation dominates
+— the same conclusion as the Pallas matmul ceiling. The stem keeps
+`ops.conv.max_pool2d` (reduce_window); re-measure via tools/probe_r5.py
+before ever promoting this.
 
 Mosaic constraints shaped the formulation (stride-2 *slicing* lowers to
 an unsupported gather; a `(..., 2, C)` reshape pads sublanes 2->16 for

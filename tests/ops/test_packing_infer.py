@@ -167,11 +167,10 @@ def test_fused_runs_single_conv(rng, x_scheme, k_w):
     assert _count_convs(run, x, fused=False) == planes * k_w
 
 
-def test_ls2_s8_stack_variant_matches_two_pass(rng):
-    """_LS2_S8_STACK (probed formulation: both sign planes as ONE s8
-    conv stacked on the batch axis) is numerically equal to the
-    bit-exact two-pass int8 path."""
-    import quant_tpu.ops.binary_infer as BI
+def test_int8_compute_ls2_falls_back_to_exact_multipass(rng):
+    """compute_dtype=int8 with a multi-plane activation scheme cannot
+    bake distinct scales into integer operands: it must run the
+    bit-exact multi-pass loop and match the fused bf16 bake closely."""
     n, cin, cout = 3, 16, 8
     x = jnp.asarray(rng.standard_normal((n, 7, 7, cin)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
@@ -180,13 +179,8 @@ def test_ls2_s8_stack_variant_matches_two_pass(rng):
     packed = pack_weights(jnp.moveaxis(binary_sign(w_oi), 0, -1))[None]
     x_vs, _ = quantizer_ls_2(x, skip=1)
     kw = dict(x_scheme='ls-2', x_vs=x_vs, w_packed=packed,
-              w_vs=w_vs[None], in_channels=cin, stride=1, padding=1,
-              compute_dtype=jnp.int8)
-    two_pass = quant_conv2d_infer(x, **kw)
-    BI._LS2_S8_STACK = True
-    try:
-        stacked = quant_conv2d_infer(x, **kw)
-    finally:
-        del BI._LS2_S8_STACK
-    np.testing.assert_allclose(np.asarray(stacked), np.asarray(two_pass),
+              w_vs=w_vs[None], in_channels=cin, stride=1, padding=1)
+    s8 = quant_conv2d_infer(x, compute_dtype=jnp.int8, **kw)
+    exact = quant_conv2d_infer(x, fused=False, **kw)
+    np.testing.assert_allclose(np.asarray(s8), np.asarray(exact),
                                rtol=1e-5, atol=1e-5)

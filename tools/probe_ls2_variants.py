@@ -1,18 +1,20 @@
 """ls-2 x ls-1 formulation A/B (VERDICT r3 weak #6: close the bake gap).
 
-The fused bake (one bf16 conv over v1*b1+v2*b2) measured 85.6% of the
-int8 ls-1 rate in round 3. Candidate reformulations, measured as FULL
-ResNet-18 forwards (not isolated convs — dispatch floors lie):
+CONCLUDED in round 4. Candidates were measured as FULL ResNet-18
+forwards at batch 1024 (not isolated convs — dispatch floors lie):
 
-  bake_f32      — current default: f32 accumulate the baked operand,
-                  downcast once (ops/binary_infer.py fused path).
-  bake_bf16     — bake arithmetic natively in bf16 (one less rounding
-                  step in theory; XLA fuses either way).
-  s8_stack      — BOTH sign planes stacked on the BATCH axis into ONE
-                  s8xs8->s32 conv (2x rows at the 2x s8 rate ~= one
-                  bf16 pass, bit-exact, no bake materialization),
-                  outputs recombined with the per-sample scales.
-  s8_two_pass   — existing bit-exact loop (two separate s8 convs).
+  bake_f32      — f32-accumulated bf16 single-conv bake: 27.7k img/s.
+                  THE WINNER; the library's only fused formulation.
+  bake_bf16     — native-bf16 bake arithmetic: +0.2% (noise). Removed.
+  s8_stack      — both sign planes batch-stacked into ONE s8 conv:
+                  14.2k (operand-bandwidth-bound). Removed.
+  s8_two_pass   — bit-exact loop, two separate s8 convs: 21.2k. Still
+                  reachable via sign_compute='int8'.
+
+The losing variants' module-global switches (_LS2_BAKE_DTYPE,
+_LS2_S8_STACK) were deleted from ops/binary_infer.py after the A/B
+concluded (VERDICT r4 #6); this probe now re-measures only the two
+formulations the library still expresses.
 
 Usage: python tools/probe_ls2_variants.py [batch] [iters]
 Appends to tools/bench_ab_results.jsonl.
@@ -33,7 +35,6 @@ enable_compile_cache()
 
 def main():
     from bench import _resnet18
-    import quant_tpu.ops.binary_infer as BI
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 12
@@ -53,26 +54,10 @@ def main():
                ips=round(ips, 1))
         return ips
 
-    # Current default (bf16 single-conv bake, f32 bake arithmetic).
+    # The fused bf16 single-conv bake (library default for ls-2).
     run('bake_f32')
-    # Native-bf16 bake arithmetic.
-    orig = BI.quant_conv2d_infer
-    BI._LS2_BAKE_DTYPE = jnp.bfloat16
-    try:
-        run('bake_bf16')
-    finally:
-        if hasattr(BI, '_LS2_BAKE_DTYPE'):
-            del BI._LS2_BAKE_DTYPE
-    # Batch-stacked single s8 conv.
-    BI._LS2_S8_STACK = True
-    try:
-        run('s8_stack', sign_compute='int8')
-    finally:
-        if hasattr(BI, '_LS2_S8_STACK'):
-            del BI._LS2_S8_STACK
-    # Two separate s8 passes (existing behavior under sign_compute=int8).
+    # Bit-exact two-s8-pass formulation.
     run('s8_two_pass', sign_compute='int8')
-    del orig
 
 
 if __name__ == '__main__':
