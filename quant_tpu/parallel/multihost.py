@@ -100,6 +100,20 @@ def host_shard(num_examples: int,
     return start, stop
 
 
+def _require_int_targets(t) -> np.ndarray:
+    """Padded eval shards mark pad rows with the integer sentinel -1;
+    that convention is only defined for integer classification labels.
+    Fail loudly (instead of silently truncating float targets) and keep
+    the loader's own dtype so padding and non-padding hosts agree."""
+    arr = np.asarray(t)
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise TypeError(
+            'padded per-host eval shards require integer classification '
+            f'targets (sentinel -1 marks pad rows); got dtype {arr.dtype}. '
+            'Use pad=False (trim) for non-classification targets.')
+    return arr
+
+
 class _ShardedBatches:
     """Per-host view of a batched loader: yields rows [pi::pc] of every
     batch, so hosts read disjoint rows and step in lockstep. Fallback for
@@ -136,8 +150,8 @@ class _ShardedBatches:
                     d = np.concatenate(
                         [d, np.zeros((extra,) + d.shape[1:], d.dtype)])
                     t = np.concatenate(
-                        [np.asarray(t, np.int64),
-                         np.full((extra,), -1, np.int64)])
+                        [_require_int_targets(t),
+                         np.full((extra,), -1, np.asarray(t).dtype)])
             else:
                 common = n // self._pc
                 d, t = d[:common], t[:common]
@@ -156,7 +170,8 @@ def _padded_host_slice(images: np.ndarray, labels: np.ndarray,
         images = np.concatenate(
             [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
         labels = np.concatenate(
-            [np.asarray(labels, np.int64), np.full((pad,), -1, np.int64)])
+            [_require_int_targets(labels),
+             np.full((pad,), -1, np.asarray(labels).dtype)])
     return images[pi * per:(pi + 1) * per], labels[pi * per:(pi + 1) * per]
 
 

@@ -133,6 +133,11 @@ class InferenceEngine:
         """Pending request count (least-loaded dispatch key)."""
         return self._queue.qsize()
 
+    def ping(self) -> bool:
+        """Liveness probe (frontend health checks): an in-process engine
+        is live iff its scheduler thread is running."""
+        return self._thread.is_alive() and not self._stop.is_set()
+
     def latency_window(self) -> np.ndarray:
         """Recent request latencies in seconds (for aggregation)."""
         with self._lock:
@@ -223,40 +228,130 @@ class ServingFrontend:
         happens independently inside each engine;
       * a backend raising on a batch fails only its own futures; the
         frontend keeps dispatching to the remaining engines;
+      * health: `max_failures` CONSECUTIVE failed requests (observed via
+        each future's outcome) evict a backend from dispatch; a daemon
+        thread re-pings evicted backends every `reprobe_interval`
+        seconds and re-admits them when they answer — so a crashed
+        worker's restart rejoins automatically and a drained-to-zero
+        dead backend can never become the most-preferred target;
       * `stats` aggregates request/batch counts AND the latency
         percentiles over the union of the backends' recent windows.
     """
 
-    def __init__(self, engines: Sequence):
+    def __init__(self, engines: Sequence, max_failures: int = 2,
+                 reprobe_interval: float = 0.5):
         if not engines:
             raise ValueError('ServingFrontend needs at least one engine')
         self.engines = list(engines)
         self._rr = 0
         self._lock = threading.Lock()
+        self._alive = [True] * len(self.engines)
+        self._fails = [0] * len(self.engines)
+        self._max_failures = max_failures
+        self._reprobe_interval = reprobe_interval
+        self._health_stop = threading.Event()
+        self._health_thread: Optional[threading.Thread] = None
 
     def start(self) -> 'ServingFrontend':
         for e in self.engines:
             e.start()
+        self._health_thread = threading.Thread(
+            target=self._health_loop, daemon=True)
+        self._health_thread.start()
         return self
 
     def stop(self) -> None:
+        self._health_stop.set()
+        if self._health_thread is not None:
+            self._health_thread.join(timeout=5)
         for e in self.engines:
             e.stop()
 
-    def _pick(self):
+    # -- health ----------------------------------------------------------
+
+    def _ping(self, engine) -> bool:
+        probe = getattr(engine, 'ping', None)
+        if probe is None:
+            return True  # no probe surface — assume live
+        try:
+            return bool(probe())
+        except Exception:  # noqa: BLE001 — liveness is boolean
+            return False
+
+    def _health_loop(self) -> None:
+        while not self._health_stop.wait(self._reprobe_interval):
+            self._reprobe_dead()
+
+    def _reprobe_dead(self) -> None:
         with self._lock:
-            loads = [e.load for e in self.engines]
-            lo = min(loads)
+            dead = [i for i, a in enumerate(self._alive) if not a]
+        for i in dead:
+            if self._ping(self.engines[i]):
+                with self._lock:
+                    self._alive[i] = True
+                    self._fails[i] = 0
+                logger.info('serving frontend: backend %d rejoined', i)
+
+    def _record_outcome(self, idx: int, ok: bool) -> None:
+        with self._lock:
+            if ok:
+                self._fails[idx] = 0
+                return
+            self._fails[idx] += 1
+            if self._fails[idx] >= self._max_failures and self._alive[idx]:
+                self._alive[idx] = False
+                logger.warning(
+                    'serving frontend: backend %d evicted after %d '
+                    'consecutive failures', idx, self._fails[idx])
+
+    @property
+    def alive(self) -> list[bool]:
+        with self._lock:
+            return list(self._alive)
+
+    # -- dispatch --------------------------------------------------------
+
+    def _pick(self) -> int:
+        with self._lock:
+            candidates = [i for i, a in enumerate(self._alive) if a]
+        if not candidates:
+            # Every backend evicted: synchronously re-probe before
+            # giving up — a restarted worker may be back already.
+            self._reprobe_dead()
+            with self._lock:
+                candidates = [i for i, a in enumerate(self._alive) if a]
+            if not candidates:
+                raise RuntimeError('serving frontend: no live backends')
+        with self._lock:
+            loads = {i: self.engines[i].load for i in candidates}
+            lo = min(loads.values())
             n = len(self.engines)
             for off in range(n):
                 i = (self._rr + off) % n
-                if loads[i] == lo:
+                if loads.get(i) == lo:
                     self._rr = (i + 1) % n
-                    return self.engines[i]
-            return self.engines[0]  # unreachable
+                    return i
+            return candidates[0]  # unreachable
 
     def submit(self, image: np.ndarray) -> Future:
-        return self._pick().submit(image)
+        last_exc: Optional[Exception] = None
+        for _ in range(len(self.engines)):
+            idx = self._pick()
+            try:
+                fut = self.engines[idx].submit(image)
+            except ValueError:
+                raise  # caller error (e.g. bad shape) — not a health event
+            except Exception as e:  # noqa: BLE001 — transport failure
+                self._record_outcome(idx, ok=False)
+                last_exc = e
+                continue
+            fut.add_done_callback(
+                lambda f, i=idx: self._record_outcome(
+                    i, ok=f.exception() is None))
+            return fut
+        raise RuntimeError(
+            f'serving frontend: submit failed on every backend '
+            f'(last: {last_exc})')
 
     def predict(self, images: np.ndarray) -> np.ndarray:
         """Synchronous convenience: scatter rows over backends via
@@ -277,6 +372,7 @@ class ServingFrontend:
                 per.append({'requests': 0, 'batches': 0,
                             'error': f'{type(err).__name__}: {err}'})
         out = {'engines': per,
+               'alive': self.alive,
                'requests': sum(s['requests'] for s in per),
                'batches': sum(s['batches'] for s in per)}
         windows = []

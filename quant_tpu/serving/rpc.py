@@ -13,15 +13,25 @@ puts engines behind a REAL process boundary:
 * `ServingFrontend` (serving/engine.py) accepts clients and engines
   interchangeably — anything with submit()/load/stats.
 
-Trust model: the protocol is pickle over TCP for INTERNAL cluster use
-(engines and frontends under one deployment's control), mirroring the
-trust the pod training platform places in its workers. Do not expose
-the port publicly.
+Trust model: the payload is pickle over TCP — deserialization executes
+code, so the port must only ever be reachable by the deployment's own
+processes. Two gates enforce that:
 
-Wire format: 8-byte big-endian length + pickle payload, both ways.
+* Binding a non-loopback interface REQUIRES a shared `secret`
+  (EngineServer raises otherwise); loopback binds may omit it.
+* When a secret is set (either side), every connection starts with a
+  challenge-response handshake — server sends a random nonce, client
+  answers HMAC-SHA256(secret, nonce) — verified with a constant-time
+  compare BEFORE the first pickle byte is parsed. Unauthenticated
+  peers are disconnected without ever reaching pickle.loads.
+
+Wire format: 8-byte big-endian length + payload both ways (raw bytes
+for the handshake, pickle after it).
 """
 
+import hmac
 import logging
+import os
 import pickle
 import socket
 import socketserver
@@ -35,6 +45,24 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _HDR = struct.Struct('>Q')
+_NONCE_BYTES = 32
+# Handshake frames are small; reject absurd lengths before allocating.
+_MAX_HANDSHAKE = 1024
+
+
+def _is_loopback(host: str) -> bool:
+    return host in ('127.0.0.1', '::1', 'localhost')
+
+
+def _send_raw(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(_HDR.pack(len(payload)) + payload)
+
+
+def _recv_raw(sock: socket.socket, max_len: int = _MAX_HANDSHAKE) -> bytes:
+    (n,) = _HDR.unpack(_recv_exact(sock, _HDR.size))
+    if n > max_len:
+        raise ConnectionError(f'handshake frame too large ({n} bytes)')
+    return _recv_exact(sock, n)
 
 
 def _send_msg(sock: socket.socket, obj: object) -> None:
@@ -70,17 +98,51 @@ class EngineServer:
     Errors come back as {'ok': False, 'error': str}.
     """
 
-    def __init__(self, engine, host: str = '127.0.0.1', port: int = 0):
+    def __init__(self, engine, host: str = '127.0.0.1', port: int = 0,
+                 secret: Optional[bytes] = None):
+        if secret is None and not _is_loopback(host):
+            raise ValueError(
+                f'EngineServer on non-loopback host {host!r} requires a '
+                'shared secret: the payload is pickle (code-executing on '
+                'deserialize). Pass secret=... to both server and '
+                'clients, or bind loopback.')
         self.engine = engine
+        self._secret = secret
         outer = self
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:  # one connection, many requests
                 sock = self.request
+                if outer._secret is not None:
+                    try:
+                        nonce = os.urandom(_NONCE_BYTES)
+                        _send_raw(sock, nonce)
+                        answer = _recv_raw(sock)
+                        want = hmac.new(outer._secret, nonce,
+                                        'sha256').digest()
+                        if not hmac.compare_digest(answer, want):
+                            logger.warning(
+                                'rpc: bad auth from %s — closing',
+                                self.client_address)
+                            return
+                    except (ConnectionError, EOFError, OSError,
+                            struct.error):
+                        return
                 while True:
                     try:
                         req = _recv_msg(sock)
                     except (ConnectionError, EOFError, OSError):
+                        return
+                    if not isinstance(req, dict):
+                        # Protocol error: reply once, drop the
+                        # connection (never index a non-dict payload).
+                        try:
+                            _send_msg(sock, {
+                                'ok': False,
+                                'error': 'protocol error: request must '
+                                         'be a dict'})
+                        except (ConnectionError, OSError):
+                            pass
                         return
                     try:
                         _send_msg(sock, outer._dispatch(req))
@@ -148,7 +210,8 @@ class RemoteEngineClient:
     """
 
     def __init__(self, host: str, port: int, pool_size: int = 16,
-                 connect_timeout: float = 30.0):
+                 connect_timeout: float = 30.0,
+                 secret: Optional[bytes] = None):
         self.host, self.port = host, port
         self._pool: list[socket.socket] = []
         self._pool_lock = threading.Lock()
@@ -156,6 +219,7 @@ class RemoteEngineClient:
         self._executor = ThreadPoolExecutor(max_workers=pool_size)
         self._inflight = 0
         self._timeout = connect_timeout
+        self._secret = secret
         # Fail fast on a dead backend.
         self._call({'op': 'ping'})
 
@@ -163,14 +227,21 @@ class RemoteEngineClient:
     def _connect(self) -> socket.socket:
         sock = socket.create_connection((self.host, self.port),
                                         timeout=self._timeout)
+        # Handshake under the (short) connect timeout: a secret-less
+        # server would never send a nonce — fail fast, not in 600 s.
+        if self._secret is not None:
+            nonce = _recv_raw(sock)
+            _send_raw(sock, hmac.new(self._secret, nonce,
+                                     'sha256').digest())
         sock.settimeout(600)
         return sock
 
-    def _borrow(self) -> socket.socket:
+    def _borrow(self) -> tuple[socket.socket, bool]:
+        """-> (socket, came_from_pool)."""
         with self._pool_lock:
             if self._pool:
-                return self._pool.pop()
-        return self._connect()
+                return self._pool.pop(), True
+        return self._connect(), False
 
     def _give_back(self, sock: socket.socket) -> None:
         with self._pool_lock:
@@ -179,14 +250,33 @@ class RemoteEngineClient:
                 return
         sock.close()
 
+    def _drop_pool(self) -> None:
+        with self._pool_lock:
+            stale, self._pool = self._pool, []
+        for s in stale:
+            s.close()
+
+    def _roundtrip(self, sock: socket.socket, req: dict) -> dict:
+        _send_msg(sock, req)
+        return _recv_msg(sock)
+
     def _call(self, req: dict) -> dict:
-        sock = self._borrow()
+        sock, pooled = self._borrow()
         try:
-            _send_msg(sock, req)
-            resp = _recv_msg(sock)
+            resp = self._roundtrip(sock, req)
         except Exception:
             sock.close()
-            raise
+            if not pooled:
+                raise
+            # A pooled connection can be stale (server restarted since
+            # it was parked, e.g. after a crash + rejoin): retry ONCE on
+            # a fresh connection before declaring the backend dead.
+            sock = self._connect()
+            try:
+                resp = self._roundtrip(sock, req)
+            except Exception:
+                sock.close()
+                raise
         self._give_back(sock)
         if not resp.get('ok'):
             raise RuntimeError(
@@ -207,6 +297,16 @@ class RemoteEngineClient:
     @property
     def load(self) -> int:
         return self._inflight
+
+    def ping(self) -> bool:
+        """Round-trip liveness probe; drops stale pooled connections on
+        failure so a later rejoin starts from a clean pool."""
+        try:
+            self._call({'op': 'ping'})
+            return True
+        except Exception:  # noqa: BLE001 — liveness is boolean
+            self._drop_pool()
+            return False
 
     def submit(self, image: np.ndarray) -> Future:
         with self._pool_lock:

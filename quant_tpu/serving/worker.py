@@ -24,6 +24,7 @@ waits for their ports, returns (procs, clients).
 
 import argparse
 import json
+import logging
 import os
 import pathlib
 import subprocess
@@ -31,6 +32,8 @@ import sys
 import tempfile
 import time
 from typing import Optional
+
+logger = logging.getLogger(__name__)
 
 
 def build_engine_from_spec(spec: dict) -> 'object':
@@ -77,10 +80,18 @@ def build_engine_from_spec(spec: dict) -> 'object':
                 try:
                     variables = fold_bn_into_packed(packed, variables)
                     serve_model = packed.clone(bn_fold=True)
-                except (ValueError, KeyError):
-                    pass  # xnor/lenet families: serve unfolded packed
-            except Exception:
-                serve_model = model  # dense fallback (fp models etc.)
+                except (ValueError, KeyError) as e:
+                    # Expected for families whose BN precedes the conv
+                    # (xnor) or that have no BN pairs (lenet).
+                    logger.info('BN folding not applicable (%s); '
+                                'serving the unfolded packed path', e)
+            except Exception as e:  # noqa: BLE001 — fall back, loudly
+                logger.warning(
+                    'packed export failed (%s: %s) — serving the DENSE '
+                    'path. For a quantized model this is a large perf '
+                    'regression; investigate rather than ignore.',
+                    type(e).__name__, e)
+                serve_model = model
         return InferenceEngine(serve_model.apply, variables, input_shape,
                                max_batch=max_batch, batch_buckets=buckets,
                                max_wait_ms=max_wait)
@@ -134,15 +145,21 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument('--port', type=int, default=0)
     parser.add_argument('--port-file', default=None,
                         help='write the bound port here once listening')
+    parser.add_argument('--secret-file', default=None,
+                        help='file holding the shared RPC secret '
+                             '(REQUIRED for a non-loopback --host)')
     args = parser.parse_args(argv)
 
     from quant_tpu.serving.rpc import EngineServer
 
+    secret = (pathlib.Path(args.secret_file).read_bytes().strip()
+              if args.secret_file else None)
     spec = json.loads(pathlib.Path(args.spec).read_text())
     engine = build_engine_from_spec(spec)
     if spec.get('warmup', True):
         engine.warmup()
-    server = EngineServer(engine, host=args.host, port=args.port)
+    server = EngineServer(engine, host=args.host, port=args.port,
+                          secret=secret)
     server.start()
     if args.port_file:
         tmp = args.port_file + '.tmp'
@@ -154,43 +171,63 @@ def main(argv: Optional[list] = None) -> None:
 
 def spawn_engine_workers(n: int, spec: dict,
                          env: Optional[dict] = None,
-                         timeout: float = 180.0) -> tuple:
+                         timeout: float = 180.0,
+                         secret: Optional[bytes] = None) -> tuple:
     """Start n worker processes; returns (procs, clients) once every
     worker is listening. Caller owns shutdown (client.shutdown_server()
-    then proc.wait())."""
+    then proc.wait()). On a worker failing to come up, every
+    already-started worker is killed before the error propagates — no
+    leaked processes holding device claims."""
     from quant_tpu.serving.rpc import RemoteEngineClient
 
     tmp = tempfile.mkdtemp(prefix='qtpu_serve_')
     spec_path = pathlib.Path(tmp) / 'spec.json'
     spec_path.write_text(json.dumps(spec))
-    procs, port_files = [], []
+    secret_args: list[str] = []
+    if secret is not None:
+        sf = pathlib.Path(tmp) / 'secret'
+        sf.write_bytes(secret)
+        sf.chmod(0o600)
+        secret_args = ['--secret-file', str(sf)]
+    procs: list = []
+    port_files = []
     full_env = dict(os.environ)
     if env:
         full_env.update(env)
-    for i in range(n):
-        pf = str(pathlib.Path(tmp) / f'port{i}')
-        port_files.append(pf)
-        # -c (not -m): the runpy re-import of an already-imported
-        # submodule would warn when the parent itself imported worker.
-        procs.append(subprocess.Popen(
-            [sys.executable, '-c',
-             'from quant_tpu.serving.worker import main; main()',
-             '--spec', str(spec_path), '--port-file', pf],
-            env=full_env,
-            cwd=str(pathlib.Path(__file__).resolve().parents[2])))
-    deadline = time.monotonic() + timeout
-    ports = []
-    for pf, proc in zip(port_files, procs):
-        while not os.path.exists(pf):
-            if proc.poll() is not None:
-                raise RuntimeError(
-                    f'serving worker exited rc={proc.returncode} '
-                    f'before listening')
-            if time.monotonic() > deadline:
-                raise TimeoutError('serving worker did not start')
-            time.sleep(0.1)
-        ports.append(int(pathlib.Path(pf).read_text()))
-    clients = [RemoteEngineClient('127.0.0.1', p) for p in ports]
+    try:
+        for i in range(n):
+            pf = str(pathlib.Path(tmp) / f'port{i}')
+            port_files.append(pf)
+            # -c (not -m): the runpy re-import of an already-imported
+            # submodule would warn when the parent itself imported worker.
+            procs.append(subprocess.Popen(
+                [sys.executable, '-c',
+                 'from quant_tpu.serving.worker import main; main()',
+                 '--spec', str(spec_path), '--port-file', pf,
+                 *secret_args],
+                env=full_env,
+                cwd=str(pathlib.Path(__file__).resolve().parents[2])))
+        deadline = time.monotonic() + timeout
+        ports = []
+        for pf, proc in zip(port_files, procs):
+            while not os.path.exists(pf):
+                if proc.poll() is not None:
+                    raise RuntimeError(
+                        f'serving worker exited rc={proc.returncode} '
+                        f'before listening')
+                if time.monotonic() > deadline:
+                    raise TimeoutError('serving worker did not start')
+                time.sleep(0.1)
+            ports.append(int(pathlib.Path(pf).read_text()))
+        clients = [RemoteEngineClient('127.0.0.1', p, secret=secret)
+                   for p in ports]
+    except BaseException:
+        for p in procs:
+            try:
+                p.kill()
+            except OSError:
+                pass
+        raise
     return procs, clients
 
 

@@ -236,3 +236,28 @@ def test_collective_any_multiprocess_allgathers():
 def test_make_mesh_rejects_oversized_grid():
     with pytest.raises(ValueError, match='devices'):
         make_mesh(data=len(jax.devices()), model=2)
+
+
+def test_padded_shards_reject_float_targets():
+    """pad=True marks pad rows with the integer sentinel -1; float
+    (non-classification) targets must fail loudly instead of being
+    silently truncated to int (ADVICE r4)."""
+    import pytest
+
+    class FloatTargets:
+        num_examples = 3
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield (np.zeros((3, 2), np.float32),
+                   np.asarray([0.5, 1.5, 2.5], np.float32))
+
+    # Host 1 receives 1 of the 3 rows and must pad to ceil(3/2)=2.
+    sharded = shard_loader_for_host(FloatTargets(), 1, 2, pad=True)
+    with pytest.raises(TypeError, match='integer classification'):
+        list(sharded)
+    # pad=False (trim) keeps working for float targets.
+    trimmed = list(shard_loader_for_host(FloatTargets(), 0, 2, pad=False))
+    assert trimmed[0][1].dtype == np.float32

@@ -6,7 +6,15 @@ Correctness oracle: both workers build the lenet_random spec from the
 SAME seed, so a locally-built identical model gives the expected logits
 for every request regardless of which backend served it."""
 
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
 import numpy as np
+import pytest
 
 from quant_tpu.serving import (
     EngineServer, InferenceEngine, RemoteEngineClient, ServingFrontend,
@@ -285,3 +293,179 @@ def test_frontend_stats_survive_dead_backend():
     assert stats['requests'] == 3
     assert any('error' in s for s in stats['engines'])
     assert stats['latency_ms']['window'] == 1
+
+
+class _StubEngine:
+    """Minimal engine surface for protocol-level tests."""
+
+    def start(self):
+        return self
+
+    def stop(self):
+        pass
+
+    def submit(self, image):
+        from concurrent.futures import Future
+        f = Future()
+        f.set_result(np.asarray(image).sum(keepdims=True))
+        return f
+
+    @property
+    def stats(self):
+        return {'requests': 0, 'batches': 0, 'padded': 0}
+
+
+def test_rpc_secret_handshake():
+    """HMAC challenge-response: right secret round-trips; a wrong or
+    missing secret never reaches the pickle layer (connection dies)."""
+    server = EngineServer(_StubEngine(), secret=b'hunter2').start()
+    port = server.address[1]
+    try:
+        good = RemoteEngineClient('127.0.0.1', port, secret=b'hunter2')
+        out = good.submit(np.ones((3,), np.float32)).result(timeout=30)
+        np.testing.assert_allclose(out, [3.0])
+        good.stop()
+
+        with pytest.raises(Exception):
+            RemoteEngineClient('127.0.0.1', port, secret=b'wrong',
+                               connect_timeout=5.0)
+        with pytest.raises(Exception):
+            RemoteEngineClient('127.0.0.1', port, connect_timeout=5.0)
+    finally:
+        server.stop()
+
+
+def test_rpc_non_loopback_bind_requires_secret():
+    with pytest.raises(ValueError, match='secret'):
+        EngineServer(_StubEngine(), host='0.0.0.0')
+    # With a secret the bind is allowed.
+    srv = EngineServer(_StubEngine(), host='0.0.0.0', secret=b's')
+    srv._server.server_close()
+
+
+def test_rpc_non_dict_payload_gets_protocol_error():
+    """A non-dict pickle payload must produce one protocol-error reply
+    and a clean disconnect — not an uncaught AttributeError teardown
+    (ADVICE r4)."""
+    import socket
+
+    from quant_tpu.serving import rpc
+
+    server = EngineServer(_StubEngine()).start()
+    try:
+        sock = socket.create_connection(('127.0.0.1', server.address[1]),
+                                        timeout=10)
+        sock.settimeout(10)
+        rpc._send_msg(sock, ['not', 'a', 'dict'])
+        resp = rpc._recv_msg(sock)
+        assert resp['ok'] is False and 'protocol error' in resp['error']
+        # Server closed the connection after the error reply.
+        assert sock.recv(1) == b''
+        sock.close()
+    finally:
+        server.stop()
+
+
+def test_spawn_cleanup_kills_started_workers(monkeypatch, tmp_path):
+    """If client construction fails after workers came up, every started
+    worker process must be killed before the error propagates
+    (ADVICE r4: no leaked processes holding device claims)."""
+    from quant_tpu.serving import rpc as rpc_mod
+    from quant_tpu.serving import worker as worker_mod
+
+    marker = f'QTPU_LEAK_TEST_{os.getpid()}_{int(time.time())}'
+
+    def boom(*a, **k):
+        raise RuntimeError('client construction failed')
+
+    monkeypatch.setattr(rpc_mod, 'RemoteEngineClient', boom)
+    spec = {'model': 'lenet_random', 'seed': 1, 'conv1_filters': 2,
+            'conv2_filters': 2, 'input_shape': [28, 28, 1],
+            'warmup': False}
+    with pytest.raises(RuntimeError, match='client construction'):
+        worker_mod.spawn_engine_workers(
+            1, spec, env={**_ENV, 'QTPU_MARKER': marker})
+
+    def marked_pids():
+        alive = []
+        for pid in os.listdir('/proc'):
+            if not pid.isdigit():
+                continue
+            try:
+                env = pathlib.Path(f'/proc/{pid}/environ').read_bytes()
+            except OSError:
+                continue
+            if marker.encode() in env:
+                alive.append(pid)
+        return alive
+
+    deadline = time.monotonic() + 15
+    while marked_pids():
+        assert time.monotonic() < deadline, \
+            f'leaked worker processes: {marked_pids()}'
+        time.sleep(0.2)
+
+
+def test_frontend_failover_kill_and_rejoin(tmp_path):
+    """VERDICT r4 #4: kill a worker mid-traffic — its submits error, the
+    survivor takes all traffic after eviction, and a restart on the same
+    port rejoins automatically via the health re-probe."""
+    spec = {'model': 'lenet_random', 'seed': 5, 'conv1_filters': 2,
+            'conv2_filters': 2, 'input_shape': [28, 28, 1],
+            'max_batch': 8, 'max_wait_ms': 2.0, 'warmup': True}
+    procs, clients = spawn_engine_workers(2, spec, env=_ENV)
+    frontend = ServingFrontend(clients, max_failures=1,
+                               reprobe_interval=0.1).start()
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((28, 28, 1)).astype(np.float32)
+    restarted = None
+    try:
+        futs = [frontend.submit(img) for _ in range(8)]
+        assert all(f.exception(timeout=300) is None for f in futs)
+
+        dead_port = clients[0].port
+        procs[0].kill()
+        procs[0].wait(timeout=30)
+
+        # (a) submits routed to the dead backend error (promptly: the
+        # stale-pool retry hits a refused connect), and (b) the failure
+        # evicts it — after which every submit lands on the survivor.
+        saw_error = False
+        deadline = time.monotonic() + 60
+        while frontend.alive != [False, True]:
+            assert time.monotonic() < deadline, 'backend 0 never evicted'
+            f = frontend.submit(img)
+            saw_error |= f.exception(timeout=300) is not None
+            time.sleep(0.05)
+        assert saw_error, 'dead backend never surfaced a failed future'
+        futs = [frontend.submit(img) for _ in range(6)]
+        assert all(f.exception(timeout=300) is None for f in futs)
+
+        # (c) restart the worker on the SAME port: health re-probe must
+        # re-admit it and traffic must flow to it again.
+        spec_path = tmp_path / 'spec.json'
+        spec_path.write_text(json.dumps(spec))
+        env = dict(os.environ)
+        env.update(_ENV)
+        restarted = subprocess.Popen(
+            [sys.executable, '-c',
+             'from quant_tpu.serving.worker import main; main()',
+             '--spec', str(spec_path), '--port', str(dead_port)],
+            env=env,
+            cwd=str(pathlib.Path(__file__).resolve().parents[2]))
+        deadline = time.monotonic() + 300
+        while frontend.alive != [True, True]:
+            assert restarted.poll() is None, 'restarted worker died'
+            assert time.monotonic() < deadline, 'backend 0 never rejoined'
+            time.sleep(0.2)
+        futs = [frontend.submit(img) for _ in range(8)]
+        assert all(f.exception(timeout=300) is None for f in futs)
+        # Round-robin over two idle backends: the rejoined one serves.
+        assert clients[0].stats['requests'] >= 1
+    finally:
+        for c in clients:
+            c.shutdown_server()
+            c.stop()
+        frontend._health_stop.set()
+        for p in [procs[1]] + ([restarted] if restarted else []):
+            p.wait(timeout=60)
