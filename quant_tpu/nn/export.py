@@ -100,6 +100,118 @@ def fold_bn_into_packed(model: Any, variables: dict[str, Any],
     return out
 
 
+def fold_xnor_thresholds(model: Any, variables: dict[str, Any],
+                         eps: float = 1e-5) -> dict[str, Any]:
+    """Fold pre-conv BN + clamp + sign extraction into per-channel
+    thresholds for the XNOR-ordering packed serving path.
+
+    The Xnor blocks put BN BEFORE each quantized conv (reference
+    resnet.py:100-190), where its eval affine y = a*x + b feeds only
+    clamp+sign-plane extraction. Since the clamp preserves sign and the
+    EMA eval scales don't depend on the batch, every sign plane is a
+    per-channel affine threshold comparison on the RAW pre-BN tensor
+    (ops/binary_infer.threshold_sign_planes) — serving then executes no
+    BN modules and never materializes the BN'd feature map.
+
+    Validity conditions, checked here on the concrete values:
+      * moving_average_mode is an EMA mode with tracked batches (per
+        -batch eval scales would need the actual clamp(BN(x)) VALUES);
+      * |a| > 0 per channel (a zero BN scale has no threshold form);
+      * for k-plane schemes under a symmetric clamp, every residual
+        must stay inside the clamp box: prefix sums of the EMA scales
+        through plane k-1 must be <= alpha (sign(clamp(y) - c) ==
+        sign(y - c) only while |c| <= alpha).
+
+    Writes x_thresh (C,), x_flip (C,), x_va (k, C) into each folded
+    conv's packed_params. Serve with model.clone(bn_fold=True).
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    if 'packed_params' not in variables:
+        raise ValueError('fold_xnor_thresholds needs packed_params — '
+                         'run export_packed_variables first.')
+    block = getattr(model, 'block', None)
+    if block not in ('xnor', 'xnor_bottleneck'):
+        raise ValueError(
+            f'threshold folding is defined for the BN->conv (xnor) '
+            f'families, not {block!r}.')
+    if getattr(model, 'moving_average_mode', 'off') == 'off':
+        raise ValueError(
+            "threshold folding requires an EMA moving_average_mode "
+            "('eval_only'/'train_and_eval'): with mode 'off' the eval "
+            'scales are solved from the actual clamp(BN(x)) values, '
+            'which the folded path never computes.')
+
+    params = variables['params']
+    stats = variables['batch_stats']
+    qstate = variables.get('quant_state', {})
+    pp = jax.tree.map(lambda x: x, variables['packed_params'])  # copy
+
+    pairs = [('conv1', 'bn1'), ('conv2', 'bn2')]
+    if block == 'xnor_bottleneck':
+        pairs.append(('conv3', 'bn3'))
+
+    for name, node in pp.items():
+        if not (isinstance(node, dict) and name in params):
+            continue
+        stage_cfg = getattr(model, f'layer{name[5]}', None) or {}
+        x_scheme = stage_cfg.get('x_quant', 'fp')
+        if x_scheme == 'fp':
+            continue  # fp activations consume BN output values directly
+        clamp = stage_cfg.get('clamp') or {'kind': 'identity'}
+        for conv, bn in pairs:
+            if conv not in node or 'w_packed' not in node[conv]:
+                continue
+            if bn not in params[name]:
+                raise KeyError(f'{name}/{bn} missing — cannot fold')
+            g = jnp.asarray(params[name][bn]['bn']['scale'])
+            beta = jnp.asarray(params[name][bn]['bn']['bias'])
+            mean = jnp.asarray(stats[name][bn]['bn']['mean'])
+            var = jnp.asarray(stats[name][bn]['bn']['var'])
+            a = g / jnp.sqrt(var + eps)
+            abs_a = np.asarray(jnp.abs(a))
+            if not (abs_a > 0).all():
+                raise ValueError(
+                    f'{name}/{bn}: BN scale gamma has a zero channel — '
+                    'no threshold form exists; serve unfolded.')
+            ema = jnp.asarray(qstate[name][conv]['x_quantizer']['ema'])
+            count = np.asarray(
+                qstate[name][conv]['x_quantizer']['ema_count'])
+            if not count > 0:
+                raise ValueError(
+                    f'{name}/{conv}: activation EMA has tracked no '
+                    'batches — train (or run a calibration pass) first.')
+            if clamp.get('kind') == 'symmetric':
+                ema_np = np.asarray(ema)
+                if x_scheme in ('ls-2', 'ls-T'):
+                    # Residual before plane 2 is v1*b1 (ls-T shares v1).
+                    prefix = ema_np[:1]
+                elif x_scheme.startswith('gf-'):
+                    prefix = np.cumsum(ema_np)[:-1]
+                else:  # ls-1: single plane, no residual to bound
+                    prefix = np.zeros(0)
+                alpha = float(clamp.get('alpha', 1.0))
+                if prefix.size and not (prefix <= alpha).all():
+                    raise ValueError(
+                        f'{name}/{conv}: EMA scale prefix sums '
+                        f'{prefix.tolist()} exceed clamp alpha {alpha} '
+                        '— residual planes would leave the clamp box; '
+                        'serve unfolded.')
+            entry = dict(node[conv])
+            entry['x_thresh'] = (-(beta - mean * a) / a).astype(
+                jnp.float32)
+            entry['x_flip'] = jnp.where(a >= 0, 1.0, -1.0).astype(
+                jnp.float32)
+            entry['x_va'] = (ema[:, None] / jnp.abs(a)[None, :]).astype(
+                jnp.float32)
+            node[conv] = entry
+
+    out = dict(variables)
+    out['packed_params'] = pp
+    return out
+
+
 def strip_for_deployment(variables: dict[str, Any]) -> dict[str, Any]:
     """Drop what serving never reads: fp32 kernels and cached weight
     scales of every layer that has packed_params.

@@ -420,16 +420,25 @@ class QuantConv2d(nn.Module):
             from quant_tpu.ops import binary_infer as BI
             out_dtype = self.eval_dtype or jnp.float32
             has_fold = self.has_variable('packed_params', 'b_fold')
-            if self.bn_folded and not has_fold:
+            has_thresh = self.has_variable('packed_params', 'x_thresh')
+            if self.bn_folded and not (has_fold or has_thresh):
                 raise ValueError(
                     'bn_fold serving requested but packed_params carry '
-                    'no b_fold — run nn.export.fold_bn_into_packed on '
-                    'the exported variables first.')
-            if has_fold and not self.bn_folded:
+                    'no b_fold/x_thresh — run nn.export.'
+                    'fold_bn_into_packed (conv->BN families) or '
+                    'fold_xnor_thresholds (BN->conv families) on the '
+                    'exported variables first.')
+            if (has_fold or has_thresh) and not self.bn_folded:
                 raise ValueError(
                     'packed_params are BN-folded but the model was not '
                     'cloned with bn_fold=True — applying them through '
                     'the unfolded model would run BN twice.')
+            if has_thresh and self.moving_average_mode == 'off':
+                raise ValueError(
+                    'threshold-folded serving needs EMA activation '
+                    "scales (moving_average_mode != 'off'): per-batch "
+                    'eval scales require the BN output values the '
+                    'folded path never computes.')
             if has_fold:
                 # Eval-mode BN folded into this conv at export time
                 # (nn/export.py fold_bn_into_packed): w_scales already
@@ -456,6 +465,10 @@ class QuantConv2d(nn.Module):
                     self.variable('packed_params', 'w_scales',
                                   lambda: w_scales)
             if self.x_quant == 'fp':
+                if has_thresh:
+                    raise ValueError(
+                        'threshold folding is undefined for fp '
+                        'activations (they consume BN output values).')
                 return BI.fp_activation_conv_infer(
                     x_clamped, w_packed=w_packed, w_vs=w_scales,
                     in_channels=cin, bias=bias, stride=self.stride,
@@ -475,14 +488,26 @@ class QuantConv2d(nn.Module):
                 one_pass = (n_planes(self.x_quant) == 1
                             and n_planes(self.w_quant) == 1)
                 sign_compute = 'int8' if one_pass else 'bf16'
+            thresh_kw = {}
+            if has_thresh:
+                # BN->conv fold: planes come from per-channel threshold
+                # compares on the RAW input x (the block skipped BN and
+                # the clamp is inside the fold's validity condition).
+                thresh_kw = dict(
+                    x_thresh=self.get_variable('packed_params',
+                                               'x_thresh'),
+                    x_flip=self.get_variable('packed_params', 'x_flip'),
+                    x_va=self.get_variable('packed_params', 'x_va'))
             return BI.quant_conv2d_infer(
-                x_clamped, x_scheme=self.x_quant, x_vs=x_vs,
+                x if has_thresh else x_clamped,
+                x_scheme=self.x_quant, x_vs=x_vs,
                 w_packed=w_packed, w_vs=w_scales, in_channels=cin,
                 bias=bias, stride=self.stride, padding=self.padding,
                 w_planes_share_scale=(self.w_quant == 'ls-T'),
                 out_dtype=out_dtype, fused=self.pass_fusion,
                 compute_dtype=(jnp.int8 if sign_compute == 'int8'
-                               else None))
+                               else None),
+                **thresh_kw)
 
         pet = jnp.float32
         if train and self.train_dtype is not None:

@@ -124,9 +124,12 @@ class XnorBasicBlock(nn.Module):
     nonlins: Sequence[str]
     stride: int = 1
     double_shortcut: bool = False
-    # Accepted for uniform stage kwargs, but a no-op: Xnor ordering puts
-    # BN BEFORE the conv (resnet.py:100-190), where the affine feeds the
-    # sign quantizer and cannot fold into the conv epilogue.
+    # Serving with export-time THRESHOLD folding
+    # (nn/export.fold_xnor_thresholds): Xnor ordering puts BN before
+    # the conv, where its eval affine feeds only clamp+sign extraction
+    # — folded into per-channel thresholds in packed_params, so the BN
+    # modules are skipped and the BN'd map is never materialized.
+    # Requires binary activations + an EMA moving-average mode.
     bn_fold: bool = False
     clamp: Optional[dict[str, Any]] = None
     moving_average_mode: str = 'off'
@@ -138,11 +141,17 @@ class XnorBasicBlock(nn.Module):
     pass_fusion: bool = True
     sign_compute: str = 'auto'
 
+    def _fold(self, train: bool) -> bool:
+        return (self.bn_fold and not train
+                and self.inference_mode == 'packed'
+                and self.w_quant != 'fp' and self.x_quant != 'fp')
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
             raise ValueError('There should be 2 non-linearities.')
         dt = self.eval_dtype if not train else self.train_dtype
+        fold = self._fold(train)
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
@@ -152,19 +161,21 @@ class XnorBasicBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            bn_folded=fold,
             use_bias=True, padding=1,
         )
         shortcut = _Shortcut(self.planes, self.stride, use_bias=True,
                              dtype=dt, name='shortcut')
 
-        out1 = BatchNorm(dtype=dt, name='bn1')(x, train)
+        out1 = x if fold else BatchNorm(dtype=dt, name='bn1')(x, train)
         out1 = QuantConv2d(self.planes, 3, stride=self.stride,
                            name='conv1', **qconv)(out1, train)
         out1 = _nonlin(self.nonlins[0], 'nonlin1')(out1)
         if self.double_shortcut:
             out1 = out1 + shortcut(x, train)
 
-        out2 = BatchNorm(dtype=dt, name='bn2')(out1, train)
+        out2 = out1 if fold else BatchNorm(dtype=dt, name='bn2')(out1,
+                                                                 train)
         out2 = QuantConv2d(self.planes, 3, stride=1,
                            name='conv2', **qconv)(out2, train)
         if self.double_shortcut:
@@ -263,9 +274,7 @@ class XnorBottleneckBlock(nn.Module):
     nonlins: Sequence[str]
     stride: int = 1
     double_shortcut: bool = False
-    # Accepted for uniform stage kwargs, but a no-op: Xnor ordering puts
-    # BN BEFORE the conv (resnet.py:100-190), where the affine feeds the
-    # sign quantizer and cannot fold into the conv epilogue.
+    # Threshold folding, as in XnorBasicBlock.bn_fold.
     bn_fold: bool = False
     clamp: Optional[dict[str, Any]] = None
     moving_average_mode: str = 'off'
@@ -277,6 +286,11 @@ class XnorBottleneckBlock(nn.Module):
     pass_fusion: bool = True
     sign_compute: str = 'auto'
 
+    def _fold(self, train: bool) -> bool:
+        return (self.bn_fold and not train
+                and self.inference_mode == 'packed'
+                and self.w_quant != 'fp' and self.x_quant != 'fp')
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
         if len(self.nonlins) != 2:
@@ -286,6 +300,7 @@ class XnorBottleneckBlock(nn.Module):
                 'double_shortcut is only defined for basic blocks '
                 '(channel counts change inside a bottleneck).')
         dt = self.eval_dtype if not train else self.train_dtype
+        fold = self._fold(train)
         qconv = dict(
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
             moving_average_mode=self.moving_average_mode,
@@ -295,17 +310,20 @@ class XnorBottleneckBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            bn_folded=fold,
             use_bias=True,
         )
-        out = BatchNorm(dtype=dt, name='bn1')(x, train)
+        out = x if fold else BatchNorm(dtype=dt, name='bn1')(x, train)
         out = QuantConv2d(self.planes, 1, stride=1, padding=0,
                           name='conv1', **qconv)(out, train)
         out = _nonlin(self.nonlins[0], 'nonlin1')(out)
-        out = BatchNorm(dtype=dt, name='bn2')(out, train)
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn2')(out, train)
         out = QuantConv2d(self.planes, 3, stride=self.stride, padding=1,
                           name='conv2', **qconv)(out, train)
         out = _nonlin(self.nonlins[0], 'nonlin2')(out)
-        out = BatchNorm(dtype=dt, name='bn3')(out, train)
+        if not fold:
+            out = BatchNorm(dtype=dt, name='bn3')(out, train)
         out = QuantConv2d(self.planes * self.expansion, 1, stride=1,
                           padding=0, name='conv3', **qconv)(out, train)
         out = out + _Shortcut(self.planes * self.expansion, self.stride,
@@ -353,7 +371,8 @@ class QResNet(nn.Module):
     pass_fusion: bool = True
     sign_compute: str = 'auto'
     # Serve with export-time-folded BN (requires packed_params produced
-    # by nn/export.fold_bn_into_packed; regular/bottleneck blocks only).
+    # by nn/export.fold_bn_into_packed for the conv->BN families, or
+    # nn/export.fold_xnor_thresholds for the BN->conv xnor families).
     bn_fold: bool = False
     stem_s2d: bool = False
     remat: bool = False

@@ -146,6 +146,68 @@ def activation_sign_planes(x: jax.Array, scheme: str, vs: jax.Array,
     raise ValueError(f'No binary decomposition for scheme {scheme}')
 
 
+def threshold_sign_planes(x: jax.Array, scheme: str, vs: jax.Array,
+                          thresh: jax.Array, flip: jax.Array,
+                          va: jax.Array,
+                          dtype: Any = None) -> tuple[list, list]:
+    """Sign planes of quantize(clamp(BN(x))) computed DIRECTLY from the
+    pre-BN tensor x via per-channel thresholds (xnor-ordering fold).
+
+    Eval BN is the per-channel affine y = a*x + b; the clamp preserves
+    sign; and each residual plane sign(z - sum_j v_j b_j) equals
+    sign(y - sum_j v_j b_j) whenever the running scale sum stays inside
+    the clamp box (verified at fold time, nn/export.py). Substituting
+    u = x - t with t = -b/a and dividing by |a|:
+
+        b_1 = s * sign(u)                      s = sign(a), per channel
+        b_j = s * sign(u - sum_{i<j} va_i p_i) va_i = v_i / |a|
+                                               p_i = sign-planes in u
+
+    so the bf16 feature map BN(x) is never materialized — the planes
+    are one fused elementwise compare-chain on the previous conv's raw
+    output. Epilogue scales stay the quantizer's EMA per-sample scales
+    (vs), exactly as in activation_sign_planes.
+
+    Args:
+        x: RAW pre-BN NHWC activations.
+        vs: (k, N) per-sample scales (EMA broadcast).
+        thresh: (C,) per-channel thresholds t = -b/a.
+        flip: (C,) per-channel sign(a) in {-1, +1}.
+        va: (k, C) per-channel normalized plane scales v_i / |a|.
+    Returns ([plane NHWC in dtype], [v (N,)]) as activation_sign_planes.
+    """
+    dtype = dtype or SIGN_COMPUTE_DTYPE
+    n = x.shape[0]
+    u = x - thresh.astype(x.dtype)
+    s = flip.astype(x.dtype)
+
+    def scales(i):
+        return vs[i]
+
+    if scheme == 'ls-1':
+        return [(s * binary_sign(u)).astype(dtype)], [scales(0)]
+    if scheme in ('ls-2', 'ls-T'):
+        p1 = binary_sign(u)
+        p2 = binary_sign(u - va[0].astype(x.dtype) * p1)
+        if scheme == 'ls-T':
+            # Shared scale: the two planes merge into one {-2,0,+2} op.
+            return [(s * (p1 + p2)).astype(dtype)], [scales(0)]
+        return ([(s * p1).astype(dtype), (s * p2).astype(dtype)],
+                [scales(0), scales(1)])
+    if scheme.startswith('gf-'):
+        k = int(scheme.split('-')[1])
+        planes, out_scales = [], []
+        resid = jnp.zeros_like(u)
+        for i in range(k):
+            p = binary_sign(u - resid)
+            planes.append((s * p).astype(dtype))
+            out_scales.append(scales(i))
+            if i + 1 < k:
+                resid = resid + va[i].astype(x.dtype) * p
+        return planes, out_scales
+    raise ValueError(f'No threshold decomposition for scheme {scheme}')
+
+
 def quant_conv2d_infer(x: jax.Array, *,
                        x_scheme: str, x_vs: jax.Array,
                        w_packed: jax.Array, w_vs: jax.Array,
@@ -156,7 +218,10 @@ def quant_conv2d_infer(x: jax.Array, *,
                        w_planes_share_scale: bool = False,
                        out_dtype: Any = jnp.float32,
                        fused: bool = True,
-                       compute_dtype: Any = None) -> jax.Array:
+                       compute_dtype: Any = None,
+                       x_thresh: Optional[jax.Array] = None,
+                       x_flip: Optional[jax.Array] = None,
+                       x_va: Optional[jax.Array] = None) -> jax.Array:
     """Full packed-weight quantized conv.
 
     fused=True (default, the production path): ALL k_a x k_w sign-plane
@@ -184,16 +249,24 @@ def quant_conv2d_infer(x: jax.Array, *,
             s8 x s8 -> s32 (exact; 2x MXU rate where lowered) but cannot
             bake multi-scale sides, so distinct-scale plane pairs run as
             separate passes; bf16 (default) allows the single-conv bake.
+        x_thresh / x_flip / x_va: when given, x is the RAW pre-BN tensor
+            and sign planes come from the folded per-channel threshold
+            comparison (threshold_sign_planes) — clamp_fn is ignored
+            (the clamp is part of the fold's validity condition).
     """
     cdt = compute_dtype or SIGN_COMPUTE_DTYPE
-    if clamp_fn is not None:
-        x = clamp_fn(x)
     if w_packed.ndim == 4:
         w_packed = w_packed[None]
     k_w = w_packed.shape[0]
 
-    x_planes, x_scales = activation_sign_planes(x, x_scheme, x_vs,
-                                                dtype=cdt)
+    if x_thresh is not None:
+        x_planes, x_scales = threshold_sign_planes(
+            x, x_scheme, x_vs, x_thresh, x_flip, x_va, dtype=cdt)
+    else:
+        if clamp_fn is not None:
+            x = clamp_fn(x)
+        x_planes, x_scales = activation_sign_planes(x, x_scheme, x_vs,
+                                                    dtype=cdt)
     n = x.shape[0]
 
     if w_planes_share_scale and k_w == 2:

@@ -72,6 +72,7 @@ def build_engine_from_spec(spec: dict) -> 'object':
             try:
                 from quant_tpu.nn.export import (
                     export_packed_variables, fold_bn_into_packed,
+                    fold_xnor_thresholds,
                 )
                 packed = model.clone(inference_mode='packed')
                 variables = export_packed_variables(packed, variables,
@@ -80,11 +81,19 @@ def build_engine_from_spec(spec: dict) -> 'object':
                 try:
                     variables = fold_bn_into_packed(packed, variables)
                     serve_model = packed.clone(bn_fold=True)
-                except (ValueError, KeyError) as e:
-                    # Expected for families whose BN precedes the conv
-                    # (xnor) or that have no BN pairs (lenet).
-                    logger.info('BN folding not applicable (%s); '
-                                'serving the unfolded packed path', e)
+                except (ValueError, KeyError):
+                    try:
+                        # BN->conv families fold the OTHER way: BN +
+                        # clamp + sign become per-channel thresholds.
+                        variables = fold_xnor_thresholds(packed,
+                                                         variables)
+                        serve_model = packed.clone(bn_fold=True)
+                    except (ValueError, KeyError) as e:
+                        # Families with no foldable BN (e.g. lenet) or
+                        # missing preconditions (non-EMA scales).
+                        logger.info('BN folding not applicable (%s); '
+                                    'serving the unfolded packed path',
+                                    e)
             except Exception as e:  # noqa: BLE001 — fall back, loudly
                 logger.warning(
                     'packed export failed (%s: %s) — serving the DENSE '

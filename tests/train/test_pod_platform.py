@@ -179,8 +179,28 @@ def test_pod_preemption_consensus_checkpoints_cleanly(tmp_path):
 
     ckpt = get_path_to_checkpoint(exp_dir)  # the interrupt checkpoint
     payload = restore_checkpoint(ckpt)
-    assert int(np.asarray(payload['epoch'])) < epochs - 1, \
+    interrupt_epoch = int(np.asarray(payload['epoch']))
+    assert interrupt_epoch < epochs - 1, \
         'run completed without interruption - signal arrived too late'
+
+    # RESUME across all processes from the interrupt checkpoint
+    # (VERDICT r4 #9): every worker restores the same state and the pod
+    # trains `epochs` MORE epochs (reference semantics,
+    # tasks.py:196) to a clean finish with a final joint checkpoint.
+    resume_cfg = dict(cfg)
+    resume_cfg['optimization'] = dict(cfg['optimization'], epochs=2)
+    resume_cfg['restore_experiment'] = str(exp_dir)
+    platform2 = PodComputePlatform(
+        n_processes=2, timeout=300,
+        env={'JAX_PLATFORMS': 'cpu', 'PALLAS_AXON_POOL_IPS': '',
+             'XLA_FLAGS': '--xla_force_host_platform_device_count=2'})
+    train_m, test_m = platform2.run(
+        Experiment(classification_task, resume_cfg))
+    assert len(train_m) == 2 and len(test_m) == 2
+    assert all(np.isfinite(m['Loss']) for m in train_m)
+    final = get_path_to_checkpoint(exp_dir)
+    final_payload = restore_checkpoint(final)
+    assert int(np.asarray(final_payload['epoch'])) == interrupt_epoch + 2
 
 
 def test_pod_platform_kills_gang_on_worker_failure(tmp_path):
