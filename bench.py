@@ -150,7 +150,8 @@ def _restored_ckpt_throughput(key, x, packed_clone) -> float:
     import tempfile
 
     from quant_tpu.nn.export import (
-        export_packed_variables, strip_for_deployment,
+        export_packed_variables, fold_xnor_thresholds,
+        strip_for_deployment,
     )
     from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
                                  make_train_step)
@@ -179,6 +180,12 @@ def _restored_ckpt_throughput(key, x, packed_clone) -> float:
 
     exported = export_packed_variables(packed_clone,
                                        state.model_variables, x[:1])
+    serve_model = packed_clone
+    try:  # production serving form: threshold-folded
+        exported = fold_xnor_thresholds(packed_clone, exported)
+        serve_model = packed_clone.clone(bn_fold=True)
+    except (ValueError, KeyError):  # pragma: no cover - fallback
+        pass
     artifact = strip_for_deployment(exported)
     tmp = pathlib.Path(tempfile.mkdtemp(prefix='qtpu_bench_ckpt_'))
     try:
@@ -187,38 +194,59 @@ def _restored_ckpt_throughput(key, x, packed_clone) -> float:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     restored = jax.device_put(restored)
-    return _throughput(packed_clone.apply, restored, x)
+    return _throughput(serve_model.apply, restored, x)
 
 
 def main() -> None:
     key = jax.random.key(0)
     x = jax.random.normal(key, (BATCH, 224, 224, 3), jnp.float32)
 
+    def _fill_quant_state(v):
+        # Plausible cached scales (values are epilogue multipliers,
+        # irrelevant to throughput; the restored_ckpt row benches REAL
+        # trained state) and a nonzero EMA count for the fold guards.
+        v = dict(v)
+        v['quant_state'] = jax.tree.map(
+            lambda t: (jnp.ones_like(t)
+                       if jnp.issubdtype(t.dtype, jnp.integer)
+                       else jnp.full_like(t, 0.5)),
+            v.get('quant_state', {}))
+        return v
+
+    def _serving_form(model, packed_clone, v):
+        # The production serving artifact: BN+clamp+sign folded into
+        # per-channel thresholds (nn/export.fold_xnor_thresholds;
+        # measured +0.3..0.5% vs unfolded and one less module chain,
+        # tools/bench_ab_results.jsonl xnorfold_*). Falls back to the
+        # unfolded packed form if a fold precondition fails.
+        from quant_tpu.nn.export import (
+            export_packed_variables, fold_xnor_thresholds,
+        )
+        pv = export_packed_variables(packed_clone, v, x[:1])
+        try:
+            return packed_clone.clone(bn_fold=True), \
+                fold_xnor_thresholds(packed_clone, pv)
+        except (ValueError, KeyError):  # pragma: no cover - fallback
+            return packed_clone, pv
+
     binary = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
-    vb = binary.init(key, x[:2], True)
-    # Fill the cached weight-scale buffers directly (values are irrelevant
-    # to throughput; a real deployment restores them from a checkpoint —
-    # this avoids compiling the whole dense QAT graph just to warm caches).
-    vb = dict(vb)
-    vb['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
-                                     vb.get('quant_state', {}))
+    vb = _fill_quant_state(binary.init(key, x[:2], True))
     # sign_compute='int8': single-plane schemes run s8xs8->s32 sign
     # convs (bit-exact, measured 1.13x end-to-end over bf16 — A/B matrix
     # tools/bench_ab_results.jsonl). The s2d stem measured FASTER in
     # isolation but slower in-model, so it stays off here.
     packed = binary.clone(inference_mode='packed',
                           eval_dtype=jnp.bfloat16, sign_compute='int8')
-    ips_binary = _throughput(packed.apply, vb, x)
+    serve_model, serve_vars = _serving_form(binary, packed, vb)
+    ips_binary = _throughput(serve_model.apply, serve_vars, x)
 
     # Accuracy-flagship 2-bit config (ls-2 activations x ls-1 weights,
     # the 74.4-top-1 ImageNet recipe) — same packed single-conv path.
     ls2 = _resnet18('ls-2', 'ls-1', moving_average_mode='eval_only')
-    v2 = ls2.init(key, x[:2], True)
-    v2 = dict(v2)
-    v2['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
-                                     v2.get('quant_state', {}))
+    v2 = _fill_quant_state(ls2.init(key, x[:2], True))
     packed2 = ls2.clone(inference_mode='packed', eval_dtype=jnp.bfloat16)
-    ips_ls2 = _throughput(packed2.apply, v2, x)
+    serve2, serve2_vars = _serving_form(ls2, packed2, v2)
+    ips_ls2 = _throughput(serve2.apply, serve2_vars, x)
 
     fp = _resnet18('fp', 'fp')
     vf = fp.init(key, x[:2], True)
@@ -262,12 +290,11 @@ def main() -> None:
     ips_gf2 = None
     try:
         gf2 = _resnet18('gf-2', 'ls-1', moving_average_mode='eval_only')
-        vg = dict(gf2.init(key, x[:2], True))
-        vg['quant_state'] = jax.tree.map(lambda v: jnp.full_like(v, 0.5),
-                                         vg.get('quant_state', {}))
+        vg = _fill_quant_state(gf2.init(key, x[:2], True))
         packed_gf2 = gf2.clone(inference_mode='packed',
                                eval_dtype=jnp.bfloat16)
-        ips_gf2 = _throughput(packed_gf2.apply, vg, x)
+        serve_gf2, serve_gf2_vars = _serving_form(gf2, packed_gf2, vg)
+        ips_gf2 = _throughput(serve_gf2.apply, serve_gf2_vars, x)
     except Exception:  # pragma: no cover - secondary family only
         ips_gf2 = None
 

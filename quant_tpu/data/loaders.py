@@ -20,7 +20,7 @@ import logging
 import pickle
 import struct
 from pathlib import Path
-from typing import Iterator, Optional
+from typing import Callable, Iterable, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -32,7 +32,8 @@ class BatchIterable:
 
     def __init__(self, images: np.ndarray, labels: np.ndarray,
                  batch_size: int, shuffle: bool, seed: int = 0,
-                 augment=None, drop_last: bool = False,
+                 augment: Optional[Callable] = None,
+                 drop_last: bool = False,
                  pad_value: Optional[np.ndarray] = None):
         self.images, self.labels = images, labels
         self.batch_size = batch_size
@@ -171,7 +172,8 @@ class QuantDataLoader:
     def cleanup(self) -> None:
         """Post-run hook (reference data_loaders.py:59-61)."""
 
-    def _subset(self, images, labels):
+    def _subset(self, images: np.ndarray, labels: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray]:
         if self.test_subset:
             return images[:self.test_subset], labels[:self.test_subset]
         return images, labels
@@ -204,7 +206,7 @@ class MNISTDataLoader(QuantDataLoader):
 
     MEAN, STD = 0.1307, 0.3081
 
-    def _load(self, split: str):
+    def _load(self, split: str) -> tuple[np.ndarray, np.ndarray]:
         prefix = 'train' if split == 'train' else 't10k'
         images = _read_idx(_find(self.dataset_path,
                                  [f'{prefix}-images-idx3-ubyte',
@@ -232,7 +234,8 @@ class _CIFARBase(QuantDataLoader):
     test_files: list[str]
     label_key: bytes
 
-    def _load(self, files):
+    def _load(self, files: Sequence
+              ) -> tuple[np.ndarray, np.ndarray]:
         xs, ys = [], []
         for name in files:
             for cand in (self.dataset_path / name,
@@ -319,7 +322,7 @@ class ImageNetDataLoader(QuantDataLoader):
         else:
             self._native = False
 
-    def _index_split(self, split: str):
+    def _index_split(self, split: str) -> tuple[list, np.ndarray]:
         root = self.dataset_path / split
         if not root.is_dir():
             raise FileNotFoundError(f'{root} (downloads are not supported)')
@@ -331,7 +334,8 @@ class ImageNetDataLoader(QuantDataLoader):
                 labels.append(li)
         return files, np.asarray(labels, np.int64)
 
-    def _train_box(self, w: int, h: int, rng):
+    def _train_box(self, w: int, h: int,
+                   rng: np.random.Generator) -> tuple:
         """RandomResizedCrop(224) box draw: scale (0.08,1.0), ratio
         (3/4,4/3), 10 tries then full image (reference
         data_loaders.py:330-338 / torchvision semantics)."""
@@ -346,7 +350,7 @@ class ImageNetDataLoader(QuantDataLoader):
                 return (x0, y0, cw, ch)
         return None  # full image
 
-    def _eval_geometry(self, w: int, h: int):
+    def _eval_geometry(self, w: int, h: int) -> tuple:
         """Resize (min side -> 256) dims and the 224 center-crop box in
         RESIZED coordinates (reference data_loaders.py:356-363)."""
         scale = self.RESIZE / min(w, h)
@@ -354,7 +358,8 @@ class ImageNetDataLoader(QuantDataLoader):
         h2 = max(self.CROP, int(round(h * scale)))
         return w2, h2, (w2 - self.CROP) // 2, (h2 - self.CROP) // 2
 
-    def _decode(self, path, train: bool, rng) -> np.ndarray:
+    def _decode(self, path: object, train: bool,
+                rng: Optional[np.random.Generator]) -> np.ndarray:
         """One image -> normalized float32 (224, 224, 3).
 
         The native libjpeg path (fused scaled decode + crop + resize)
@@ -435,7 +440,8 @@ class ImageNetDataLoader(QuantDataLoader):
             arr = apply_color_jitter(arr, *factors, order)
         return (arr - self.MEAN) / self.STD
 
-    def _loader(self, split: str, batch_size: int, train: bool):
+    def _loader(self, split: str, batch_size: int,
+                train: bool) -> Iterable:
         from concurrent.futures import ThreadPoolExecutor
 
         from quant_tpu.data.prefetch import PrefetchIterable
@@ -485,7 +491,9 @@ class SyntheticDataLoader(QuantDataLoader):
     """Random data with fixed shapes — the test/bench workhorse (the
     reference's RandomQuantDataLoader analog, tests/data/helpers.py)."""
 
-    def __init__(self, *args, image_shape=(28, 28, 1), num_classes: int = 10,
+    def __init__(self, *args: object,
+                 image_shape: Sequence[int] = (28, 28, 1),
+                 num_classes: int = 10,
                  train_size: int = 256, test_size: int = 256, **kwargs):
         super().__init__(*args, **kwargs)
         self.image_shape = tuple(image_shape)

@@ -56,7 +56,7 @@ def _load() -> Optional[ctypes.CDLL]:
 AVAILABLE = _load() is not None
 
 
-def _as_u8p(data: bytes):
+def _as_u8p(data: bytes) -> object:
     return ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
 
 

@@ -100,7 +100,7 @@ class WeightQuantizer(nn.Module):
 
     @nn.compact
     def __call__(self, w_oi: jax.Array, train: bool,
-                 return_scales: bool = False):
+                 return_scales: bool = False) -> object:
         """Quantize w_oi, whose leading axis is the out-channel axis."""
         validate_scheme(self.scheme)
         if self.scheme == 'fp':
@@ -145,7 +145,7 @@ class ActivationQuantizer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
-                 return_scales: bool = False):
+                 return_scales: bool = False) -> object:
         """Quantize x; with return_scales also return the (k, N) scales
         actually used (the packed inference path consumes only the scales
         and re-derives sign planes — the dense x_q is then dead code XLA

@@ -15,7 +15,7 @@ outputs; BN statistics live in 'batch_stats', quantizer scales in
 'quant_state'.
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -25,7 +25,7 @@ from quant_tpu.nn.layers import BatchNorm, Conv, PReLU, QuantConv2d
 from quant_tpu.ops.conv import global_avg_pool, max_pool2d
 
 
-def _nonlin(name: str, module_name: str):
+def _nonlin(name: str, module_name: str) -> Callable:
     if name == 'relu':
         return nn.relu
     if name == 'prelu':

@@ -38,8 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from quant_tpu.ops.packing import WORD, pack_signs
 
 
-def _xnor_kernel(a_ref, bt_ref, vx_ref, vw_ref, out_ref, *,
-                 k_total: int, w_words: int):
+def _xnor_kernel(a_ref: object, bt_ref: object, vx_ref: object,
+                 vw_ref: object, out_ref: object, *,
+                 k_total: int, w_words: int) -> None:
     acc = jnp.zeros(out_ref.shape, jnp.int32)
     for w in range(w_words):  # static unroll over the word axis
         a_col = a_ref[:, w:w + 1]          # (TM, 1) static lane slice
@@ -50,7 +51,8 @@ def _xnor_kernel(a_ref, bt_ref, vx_ref, vw_ref, out_ref, *,
     out_ref[:, :] = dot * vx_ref[:, :] * vw_ref[:, :]
 
 
-def _pad_to(x, axis, mult, value=0):
+def _pad_to(x: jax.Array, axis: int, mult: int,
+            value: float = 0) -> jax.Array:
     pad = (-x.shape[axis]) % mult
     if pad == 0:
         return x

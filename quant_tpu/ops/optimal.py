@@ -76,14 +76,15 @@ def _candidate_costs(m: int, v: jax.Array, prefix_count: jax.Array,
     return s_r2 - (s_r * s_r) / m
 
 
-def _sorted_stats(matrix: jax.Array, skip: int):
+def _sorted_stats(matrix: jax.Array, skip: int) -> tuple:
     x = jax.lax.stop_gradient(matrix.astype(jnp.float32))
     a = jnp.sort(jnp.abs(x[..., ::skip]), axis=-1)  # (R, M) ascending
     c = jnp.cumsum(a, axis=-1)
     return a, c, c[:, -1:], jnp.sum(a * a, axis=-1, keepdims=True)
 
 
-def _opt_v1_exact(a, c, total_sum, total_sq, ternary: bool) -> jax.Array:
+def _opt_v1_exact(a: jax.Array, c: jax.Array, total_sum: jax.Array,
+                  total_sq: jax.Array, ternary: bool) -> jax.Array:
     r, m = a.shape
     # Split p = number of magnitudes <= v, for p = 1..M-1 (interval
     # [a_{p-1}, a_p]) plus p = 0 (interval [0, a_0], ternary only — the
@@ -109,7 +110,9 @@ def _opt_v1_exact(a, c, total_sum, total_sq, ternary: bool) -> jax.Array:
     return jnp.take_along_axis(v, best[:, None], axis=-1)[:, 0]
 
 
-def _opt_v1_reference(a, c, total_sum, total_sq, ternary: bool) -> jax.Array:
+def _opt_v1_reference(a: jax.Array, c: jax.Array, total_sum: jax.Array,
+                      total_sq: jax.Array,
+                      ternary: bool) -> jax.Array:
     r, m = a.shape
     cand_vals, cand_costs = [], []
 

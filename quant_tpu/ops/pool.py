@@ -46,13 +46,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _neg_inf(dtype):
+def _neg_inf(dtype: object) -> object:
     if jnp.issubdtype(dtype, jnp.floating):
         return -jnp.inf
     return jnp.iinfo(dtype).min
 
 
-def _pair_max(z, axis):
+def _pair_max(z: jax.Array, axis: int) -> jax.Array:
     """max(z[..., 2t, ...], z[..., 2t+1, ...]) along `axis` (size even)."""
     shape = list(z.shape)
     shape[axis] //= 2
@@ -60,12 +60,12 @@ def _pair_max(z, axis):
     return jnp.max(z.reshape(shape), axis=axis + 1)
 
 
-def _w_stage_reshape(r):
+def _w_stage_reshape(r: jax.Array) -> jax.Array:
     # (..., 2, C) reshape: sublane-pads 2->16 for bf16; slow relayout.
     return _pair_max(r, axis=1)
 
 
-def _w_stage_lane(r):
+def _w_stage_lane(r: jax.Array) -> jax.Array:
     # Merge W pairs into lanes: (H', W, C) -> (H', W/2, 2C); the pair
     # max is then a lane-slice max. For C=64 the merged dim is exactly
     # one 128-lane register: no padding anywhere.
@@ -74,7 +74,7 @@ def _w_stage_lane(r):
     return jnp.maximum(r2[:, :, :c], r2[:, :, c:])
 
 
-def _w_stage_swap(r):
+def _w_stage_swap(r: jax.Array) -> jax.Array:
     # Move W to the leading dim so the pair-split reshape is free.
     rt = jnp.swapaxes(r, 0, 1)         # (W, H', C)
     return jnp.swapaxes(_pair_max(rt, axis=0), 0, 1)
@@ -84,7 +84,8 @@ _W_STAGES = {'reshape': _w_stage_reshape, 'lane': _w_stage_lane,
              'swap': _w_stage_swap}
 
 
-def _pool_kernel(halo_ref, y_ref, o_ref, *, w_stage):
+def _pool_kernel(halo_ref: object, y_ref: object, o_ref: object, *,
+                 w_stage: object) -> None:
     z = jnp.concatenate([halo_ref[0], y_ref[0]], axis=0)  # (2T+1, W, C)
     lo = _neg_inf(z.dtype)
     # W stage: r[:, j] = max(z[:, j-1], z[:, j]) with col -1 = -inf pad.

@@ -30,13 +30,13 @@ def binarize(x: jax.Array) -> jax.Array:
     return binary_sign(x)
 
 
-def _binarize_fwd(x):
+def _binarize_fwd(x: jax.Array) -> tuple:
     # Residual: the pass-through mask. The reference zeroes gradient where
     # x > 1 or x < -1, i.e. passes it through on the closed interval [-1, 1].
     return binary_sign(x), (jnp.abs(x) <= 1.0)
 
 
-def _binarize_bwd(mask, g):
+def _binarize_bwd(mask: jax.Array, g: jax.Array) -> tuple:
     return (jnp.where(mask, g, 0.0).astype(g.dtype),)
 
 

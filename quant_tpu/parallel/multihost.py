@@ -100,7 +100,7 @@ def host_shard(num_examples: int,
     return start, stop
 
 
-def _require_int_targets(t) -> np.ndarray:
+def _require_int_targets(t: object) -> np.ndarray:
     """Padded eval shards mark pad rows with the integer sentinel -1;
     that convention is only defined for integer classification labels.
     Fail loudly (instead of silently truncating float targets) and keep
@@ -129,16 +129,17 @@ class _ShardedBatches:
     rows that the masked eval metrics exclude, covering every example.
     """
 
-    def __init__(self, inner, pi: int, pc: int, pad: bool = False):
+    def __init__(self, inner: object, pi: int, pc: int,
+                 pad: bool = False) -> None:
         self._inner, self._pi, self._pc = inner, pi, pc
         self._pad = pad
         n = getattr(inner, 'num_examples', 0)
         self.num_examples = -(-n // pc) if pad else n // pc
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self._inner)
 
-    def __iter__(self):
+    def __iter__(self) -> object:
         for data, target in self._inner:
             d = data[self._pi::self._pc]
             t = target[self._pi::self._pc]

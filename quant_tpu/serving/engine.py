@@ -165,7 +165,7 @@ class InferenceEngine:
                 return b
         return self.buckets[-1]
 
-    def _run(self, bucket: int, batch: np.ndarray):
+    def _run(self, bucket: int, batch: np.ndarray) -> np.ndarray:
         with self._lock:
             fn = self._compiled.get(bucket)
             if fn is None:
@@ -269,7 +269,7 @@ class ServingFrontend:
 
     # -- health ----------------------------------------------------------
 
-    def _ping(self, engine) -> bool:
+    def _ping(self, engine: object) -> bool:
         probe = getattr(engine, 'ping', None)
         if probe is None:
             return True  # no probe surface — assume live

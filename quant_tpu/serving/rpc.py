@@ -98,8 +98,9 @@ class EngineServer:
     Errors come back as {'ok': False, 'error': str}.
     """
 
-    def __init__(self, engine, host: str = '127.0.0.1', port: int = 0,
-                 secret: Optional[bytes] = None):
+    def __init__(self, engine: object, host: str = '127.0.0.1',
+                 port: int = 0,
+                 secret: Optional[bytes] = None) -> None:
         if secret is None and not _is_loopback(host):
             raise ValueError(
                 f'EngineServer on non-loopback host {host!r} requires a '

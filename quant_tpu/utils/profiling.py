@@ -13,7 +13,7 @@ The reference has no tracing or timing at all (SURVEY.md §5). Here:
 import contextlib
 import logging
 import time
-from typing import Optional
+from typing import Callable, Optional
 
 logger = logging.getLogger(__name__)
 
@@ -42,14 +42,15 @@ class StepTimer:
     """Accumulates step wall times; call as a hook(epoch, global_step, ...)."""
 
     def __init__(self, batch_size: Optional[int] = None,
-                 log_every: int = 50, sync_fn=None):
+                 log_every: int = 50,
+                 sync_fn: Optional[Callable] = None) -> None:
         self.batch_size = batch_size
         self.log_every = log_every
         self.sync_fn = sync_fn  # e.g. lambda: jax.device_get(loss)
         self._t0 = None
         self._last_step = 0
 
-    def __call__(self, epoch: int, global_step: int, **_):
+    def __call__(self, epoch: int, global_step: int, **_: object) -> None:
         now = time.perf_counter()
         if self._t0 is None:
             self._t0 = now

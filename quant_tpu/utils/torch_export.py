@@ -42,7 +42,7 @@ def numpy_to_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
             for k, v in sd.items()}
 
 
-def _get(tree: Mapping[str, Any], path: list[str]):
+def _get(tree: Mapping[str, Any], path: list[str]) -> Any:
     node: Any = tree
     for k in path:
         if not isinstance(node, Mapping) or k not in node:

@@ -13,8 +13,10 @@ flake8-subset checks (style/correctness):
   B006 mutable default argument     F632 `is` with a literal
 
 strict-typing subset (mypy disallow_untyped_defs analog):
-  T001 public function/method in quant_tpu/ lacking parameter or return
-       annotations (self/cls/*args/**kwargs exempt; tests exempt).
+  T001 any module- or class-level function/method in quant_tpu/ —
+       public AND private — lacking parameter or return annotations
+       (self/cls exempt; __init__ return exempt; nested closures
+       exempt, like mypy inside annotated parents; tests exempt).
 
 Usage: python scripts/lint.py [paths...]   (default: quant_tpu tools
        scripts bench.py __graft_entry__.py)
@@ -88,14 +90,12 @@ def _annotation_findings(tree, path):
         return out
 
     def check(node):
-        if node.name.startswith('_'):
-            return
         missing = [a.arg for a in (node.args.args + node.args.kwonlyargs)
                    if a.annotation is None and a.arg not in ('self', 'cls')]
         if missing or (node.returns is None and node.name != '__init__'):
             what = f'params {missing}' if missing else 'return type'
             out.append((node.lineno,
-                        f'T001 public def {node.name} missing '
+                        f'T001 def {node.name} missing '
                         f'annotations ({what})'))
 
     # Module- and class-level defs only (nested closures are local
