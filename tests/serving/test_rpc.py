@@ -469,3 +469,81 @@ def test_frontend_failover_kill_and_rejoin(tmp_path):
         frontend._health_stop.set()
         for p in [procs[1]] + ([restarted] if restarted else []):
             p.wait(timeout=60)
+
+
+def test_worker_serves_xnor_experiment_threshold_folded(tmp_path):
+    """An xnor-family experiment served by the worker must take the
+    THRESHOLD-folded path (packed_params carry x_thresh, no BN modules
+    executed) and reproduce the unfolded packed eval exactly-ish."""
+    import jax
+    import jax.numpy as jnp
+
+    from quant_tpu.experiment import Experiment
+    from quant_tpu.serving.worker import build_engine_from_spec
+    from quant_tpu.train.task import classification_task
+
+    qlayer = {'x_quant': 'ls-1', 'w_quant': 'ls-1',
+              'clamp': {'kind': 'symmetric', 'alpha': 2},
+              'double_shortcut': True}
+    cfg = {
+        'seed': 7,
+        'environment': {'nchips': 1},
+        'data': {'dataset': 'synthetic', 'train_batch_size': 16,
+                 'test_batch_size': 16, 'train_size': 32, 'test_size': 16,
+                 'image_shape': [32, 32, 3]},
+        'model': {'architecture': 'resnet', 'loss': 'cross_entropy',
+                  'arch_config': {
+                      'block': 'xnor',
+                      'moving_average_mode': 'eval_only',
+                      'layer0': {'n_in_channels': 4, 'kernel_size': 3,
+                                 'stride': 1, 'padding': 1, 'bias': False,
+                                 'maxpool': {'type': 'identity'}},
+                      'layer1': dict(qlayer), 'layer2': dict(qlayer),
+                      'layer3': dict(qlayer), 'layer4': None,
+                      'nonlins': ['prelu', 'prelu'],
+                      'num_blocks': [1, 1, 1],
+                      'output_classes': 10}},
+        'optimization': {'epochs': 1,
+                         'optimizer': {'algorithm': 'sgd', 'lr': 0.05},
+                         'lr_scheduler': {'scheduler': 'step_lr',
+                                          'step_size': 1, 'gamma': 1.0}},
+        'log': {'level': 'WARNING', 'interval': 100, 'save_model_freq': 1,
+                'tensorboard': False,
+                'root_experiments_dir': str(tmp_path / 'experiments')},
+        'experiment_name': 'xnorexp',
+    }
+    Experiment(classification_task, cfg).run()
+    exp_dir = tmp_path / 'experiments' / 'xnorexp'
+
+    spec = {'model': 'experiment', 'experiment_dir': str(exp_dir),
+            'input_shape': [32, 32, 3], 'max_batch': 8, 'warmup': False}
+    engine = build_engine_from_spec(spec)
+    # The folded path was taken: thresholds present, model flagged.
+    flat = str(jax.tree_util.tree_structure(
+        engine.variables.get('packed_params', {})))
+    assert 'x_thresh' in flat, 'worker did not threshold-fold'
+
+    # Served responses match the UNFOLDED packed eval of the same
+    # checkpoint (the fold must be invisible to clients).
+    import yaml
+
+    from quant_tpu.nn.export import export_packed_variables
+    from quant_tpu.train.task import build_model
+    from quant_tpu.utils.checkpoints import (
+        get_path_to_checkpoint, restore_checkpoint,
+    )
+    mcfg = yaml.safe_load((exp_dir / 'config.yaml').read_text())['model']
+    model = build_model(mcfg['architecture'], mcfg.get('arch_config', {}))
+    payload = restore_checkpoint(get_path_to_checkpoint(exp_dir))
+    variables = {'params': payload['params'],
+                 'batch_stats': payload.get('batch_stats', {}),
+                 'quant_state': payload.get('quant_state', {})}
+    packed = model.clone(inference_mode='packed')
+    pv = export_packed_variables(packed, variables,
+                                 jnp.zeros((1, 32, 32, 3), jnp.float32))
+    rng = np.random.default_rng(2)
+    images = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+    want = np.asarray(packed.apply(pv, jnp.asarray(images), False))
+    got = np.asarray(engine.apply_fn(engine.variables,
+                                     jnp.asarray(images), False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
