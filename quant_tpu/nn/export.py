@@ -100,6 +100,45 @@ def fold_bn_into_packed(model: Any, variables: dict[str, Any],
     return out
 
 
+def calibrate_ema_scales(model: Any, variables: dict[str, Any],
+                         batches: Any) -> dict[str, Any]:
+    """Post-training EMA calibration (PTQ observer pass).
+
+    Most published recipes train with `moving_average_mode: 'off'`
+    (per-batch eval scales) — those checkpoints cannot serve
+    threshold-folded, and their ls-2/ls-T eval re-solves scales per
+    batch (a sort on TPU). This runs eval-mode forwards (BN on running
+    stats — exactly what EMA serving sees) with the activation
+    quantizers in observer mode, blending each batch's solved scales
+    into fresh EMA state.
+
+    Args:
+        model: the trained model (any moving_average_mode).
+        variables: its trained variables.
+        batches: iterable of input batches (calibration set; a few
+            hundred representative images suffice).
+
+    Returns:
+        variables with 'quant_state' carrying calibrated EMA scales;
+        serve with a model cloned to an EMA mode, e.g.
+        model.clone(moving_average_mode='eval_only',
+        inference_mode='packed') (+ fold_xnor_thresholds where
+        applicable).
+    """
+    calib = model.clone(moving_average_mode='eval_only', calibrate=True)
+    variables = dict(variables)
+    n = 0
+    for batch in batches:
+        _, mut = calib.apply(variables, batch, False,
+                             mutable=['quant_state'])
+        variables['quant_state'] = mut['quant_state']
+        n += 1
+    if n == 0:
+        raise ValueError('calibrate_ema_scales got an empty batch '
+                         'iterable — EMA state would stay untracked.')
+    return variables
+
+
 def fold_xnor_thresholds(model: Any, variables: dict[str, Any],
                          eps: float = 1e-5) -> dict[str, Any]:
     """Fold pre-conv BN + clamp + sign extraction into per-channel

@@ -142,6 +142,14 @@ class ActivationQuantizer(nn.Module):
     moving_average_momentum: float = 0.99
     skip: int = 3
     solver_mode: str = 'exact'
+    # Post-training calibration (observer mode): eval-mode forwards ALSO
+    # solve batch scales and blend them into the EMA state — the
+    # standard PTQ observer pass. Lets checkpoints trained with
+    # moving_average_mode='off' acquire the EMA scales that solve-free
+    # packed eval and threshold-folded serving need
+    # (nn/export.calibrate_ema_scales). Requires an EMA mode and a
+    # mutable 'quant_state'.
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool,
@@ -187,6 +195,27 @@ class ActivationQuantizer(nn.Module):
                     _, x_q = _quantize_with_scheme(
                         self.scheme, x, used_vs, self.skip, self.solver_mode)
             return out(x_q, used_vs)
+
+        if self.calibrate:
+            if not use_ema:
+                raise ValueError(
+                    "calibrate=True needs an EMA moving_average_mode "
+                    "('eval_only'/'train_and_eval') so there is EMA "
+                    'state to calibrate.')
+            # Observer pass: this x is the EVAL-mode activation (BN on
+            # running stats) — exactly what folded/EMA serving will see.
+            batch_vs, _ = _quantize_with_scheme(
+                self.scheme, x, None, self.skip, self.solver_mode)
+            new = jnp.mean(batch_vs, axis=1)
+            m = self.moving_average_momentum
+            blended = jnp.where(count.value > 0,
+                                m * ema.value + (1.0 - m) * new, new)
+            ema.value = blended
+            count.value = count.value + 1
+            vs = jnp.broadcast_to(blended[:, None], (k, x.shape[0]))
+            _, x_q = _quantize_with_scheme(
+                self.scheme, x, vs, self.skip, self.solver_mode)
+            return out(x_q, vs)
 
         if use_ema:
             vs = jnp.broadcast_to(ema.value[:, None], (k, x.shape[0]))
@@ -365,6 +394,8 @@ class QuantConv2d(nn.Module):
     # plane (ls-1 / ls-T — one s8 pass strictly wins), bf16 otherwise
     # (one baked bf16 pass beats k>=2 s8 passes; measured, DESIGN.md).
     sign_compute: str = 'auto'
+    # PTQ observer pass: see ActivationQuantizer.calibrate.
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool) -> jax.Array:
@@ -379,6 +410,7 @@ class QuantConv2d(nn.Module):
             moving_average_mode=self.moving_average_mode,
             moving_average_momentum=self.moving_average_momentum,
             solver_mode=self.solver_mode,
+            calibrate=self.calibrate,
             name='x_quantizer',
         )(x_clamped, train, return_scales=True)
 

@@ -37,6 +37,7 @@ class QLeNet5(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    calibrate: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -64,6 +65,7 @@ class QLeNet5(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            calibrate=self.calibrate,
             name='conv2',
         )(x, train)
         x = nn.relu(x)

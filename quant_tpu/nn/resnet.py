@@ -70,6 +70,7 @@ class RegularBasicBlock(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    calibrate: bool = False
     # Serving with export-time BN folding (nn/export.fold_bn_into_packed):
     # eval-mode BN is a per-out-channel affine that is ALREADY inside the
     # packed conv's scale epilogue (w_scales *= gamma/sqrt(var+eps),
@@ -97,6 +98,7 @@ class RegularBasicBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            calibrate=self.calibrate,
             bn_folded=fold,
             use_bias=False, padding=1,
         )
@@ -140,6 +142,7 @@ class XnorBasicBlock(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    calibrate: bool = False
 
     def _fold(self, train: bool) -> bool:
         return (self.bn_fold and not train
@@ -161,6 +164,7 @@ class XnorBasicBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            calibrate=self.calibrate,
             bn_folded=fold,
             use_bias=True, padding=1,
         )
@@ -212,6 +216,7 @@ class RegularBottleneckBlock(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    calibrate: bool = False
     bn_fold: bool = False  # see RegularBasicBlock.bn_fold
 
     def _fold(self, train: bool) -> bool:
@@ -234,6 +239,7 @@ class RegularBottleneckBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            calibrate=self.calibrate,
             bn_folded=fold,
             use_bias=False,
         )
@@ -285,6 +291,7 @@ class XnorBottleneckBlock(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    calibrate: bool = False
 
     def _fold(self, train: bool) -> bool:
         return (self.bn_fold and not train
@@ -310,6 +317,7 @@ class XnorBottleneckBlock(nn.Module):
             train_dtype=self.train_dtype,
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
+            calibrate=self.calibrate,
             bn_folded=fold,
             use_bias=True,
         )
@@ -370,6 +378,7 @@ class QResNet(nn.Module):
     train_dtype: Optional[Any] = None
     pass_fusion: bool = True
     sign_compute: str = 'auto'
+    calibrate: bool = False
     # Serve with export-time-folded BN (requires packed_params produced
     # by nn/export.fold_bn_into_packed for the conv->BN families, or
     # nn/export.fold_xnor_thresholds for the BN->conv xnor families).
@@ -427,6 +436,7 @@ class QResNet(nn.Module):
                 train_dtype=self.train_dtype,
                 pass_fusion=self.pass_fusion,
                 sign_compute=self.sign_compute,
+                calibrate=self.calibrate,
                 bn_fold=self.bn_fold,
                 **cfg,  # e.g. double_shortcut for xnor blocks
             )
