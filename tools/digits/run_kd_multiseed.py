@@ -67,13 +67,23 @@ def _tpu_run(src: pathlib.Path, seed: int, env: dict, name: str,
     if kd_config:
         cfg['model']['kd_config'] = kd_config
     run_dir = RUNS / name
-    shutil.rmtree(run_dir, ignore_errors=True)
     cfg_path = RUNS / f'{name}.yaml'
     cfg_path.write_text(yaml.safe_dump(cfg))
-    subprocess.run([sys.executable, str(REPO / 'examples/mnist/mnist.py'),
-                    '--config', str(cfg_path), '--experiment-name', name],
-                   check=True, env=env,
-                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    log = RUNS / f'{name}.log'
+    for attempt in (1, 2):  # retry once: transient failures under load
+        shutil.rmtree(run_dir, ignore_errors=True)
+        with open(log, 'w') as lf:
+            rc = subprocess.run(
+                [sys.executable, str(REPO / 'examples/mnist/mnist.py'),
+                 '--config', str(cfg_path), '--experiment-name', name],
+                env=env, stdout=lf, stderr=subprocess.STDOUT).returncode
+        if rc == 0:
+            break
+        print(f'    attempt {attempt} rc={rc}; tail of {log}:',
+              flush=True)
+        print('\n'.join(log.read_text().splitlines()[-5:]), flush=True)
+    else:
+        raise RuntimeError(f'{name} failed twice; see {log}')
     last = (run_dir / 'metrics' / 'test.csv').read_text() \
         .strip().splitlines()[-1].split(',')
     return float(last[1])
@@ -113,17 +123,40 @@ def main() -> None:
 
     mnist = REPO / 'examples' / 'mnist'
     ref_mnist = pathlib.Path('/root/reference/examples/mnist')
+
+    # Resume support: completed (recipe, seed) rows are kept and their
+    # runs skipped (teacher artifacts in RUNS persist across restarts).
     grid: list[dict] = []
+    csv_path = RESULTS / 'MULTISEED_KD.csv'
+    if csv_path.exists():
+        with open(csv_path) as f:
+            for row in csv.DictReader(f):
+                grid.append({'recipe': row['recipe'],
+                             'seed': int(row['seed']),
+                             'quant_tpu': float(row['quant_tpu']),
+                             'reference': float(row['reference'])})
+        print(f'resuming: {len(grid)} rows already done', flush=True)
+
+    def have(recipe: str, seed: int) -> bool:
+        return any(g['recipe'] == recipe and g['seed'] == seed
+                   for g in grid)
+
     for seed in range(n_seeds):
         # --- teachers (fp recipe), one per stack per seed ---
         tname = f'kd_teacher_s{seed}'
-        print(f'=== seed {seed} teacher (fp)', flush=True)
-        q_t = _tpu_run(mnist / 'mnist_fp.yaml', seed, env, tname)
-        r_t = _ref_run(ref_mnist / 'mnist_fp.yaml', seed, tname)
-        grid.append({'recipe': 'teacher_fp', 'seed': seed,
-                     'quant_tpu': q_t, 'reference': r_t})
-        print(f'    quant_tpu {q_t * 100:.2f}  reference {r_t * 100:.2f}',
-              flush=True)
+        teachers_exist = ((RUNS / tname / 'checkpoints').exists()
+                          and (REF_RUNS / tname / 'checkpoints').exists())
+        if not (have('teacher_fp', seed) and teachers_exist):
+            print(f'=== seed {seed} teacher (fp)', flush=True)
+            q_t = _tpu_run(mnist / 'mnist_fp.yaml', seed, env, tname)
+            r_t = _ref_run(ref_mnist / 'mnist_fp.yaml', seed, tname)
+            grid = [g for g in grid
+                    if not (g['recipe'] == 'teacher_fp'
+                            and g['seed'] == seed)]
+            grid.append({'recipe': 'teacher_fp', 'seed': seed,
+                         'quant_tpu': q_t, 'reference': r_t})
+            print(f'    quant_tpu {q_t * 100:.2f}  '
+                  f'reference {r_t * 100:.2f}', flush=True)
 
         tpu_kd = {
             'teacher_config_path': str(RUNS / tname / 'config.yaml'),
@@ -142,6 +175,8 @@ def main() -> None:
 
         # --- KD students ---
         for stem in _STUDENTS:
+            if have(f'{stem}_kd', seed):
+                continue
             name = f'kd_{stem}_s{seed}'
             print(f'=== seed {seed} {stem} + KD', flush=True)
             q = _tpu_run(mnist / f'{stem}.yaml', seed, env, name,
