@@ -31,8 +31,12 @@ def _serve_multiprocess(args) -> None:
     else:
         spec = {'model': 'resnet18_random', 'input_shape': shape,
                 'max_batch': 64, 'seed': 0}
+    secret = None
+    if args.secret_file:
+        secret = Path(args.secret_file).read_bytes().strip()
     print(f'spawning {args.workers} engine processes...')
-    procs, clients = spawn_engine_workers(args.workers, spec)
+    procs, clients = spawn_engine_workers(args.workers, spec,
+                                          secret=secret)
     frontend = ServingFrontend(clients).start()
     try:
         rng = np.random.default_rng(0)
@@ -76,6 +80,11 @@ def main() -> None:
                         help='with --workers: experiment dir every '
                              'worker loads (defaults to a random '
                              'packed ResNet-18)')
+    parser.add_argument('--secret-file', type=str, default=None,
+                        help='with --workers: shared RPC secret file — '
+                             'enables the HMAC handshake on every '
+                             'engine connection (required if workers '
+                             'ever bind non-loopback)')
     args = parser.parse_args()
 
     if args.workers > 0:
@@ -109,20 +118,34 @@ def main() -> None:
     else:
         variables = dict(variables)
         variables['quant_state'] = jax.tree.map(
-            lambda v: jnp.full_like(v, 0.5),
+            lambda v: (jnp.ones_like(v)
+                       if jnp.issubdtype(v.dtype, jnp.integer)
+                       else jnp.full_like(v, 0.5)),
             variables.get('quant_state', {}))
 
-    # Pack all quantized weights once and strip the fp32 masters: the
-    # engine serves from the minimal artifact (1 bit/weight).
+    # Pack all quantized weights once, fold BN where the family allows
+    # (conv->BN epilogue fold OR BN->conv threshold fold), and strip the
+    # fp32 masters: the engine serves from the minimal artifact
+    # (1 bit/weight, no BN modules executed where folded).
     from quant_tpu.nn.export import (export_packed_variables,
+                                     fold_bn_into_packed,
+                                     fold_xnor_thresholds,
                                      strip_for_deployment)
-    variables = strip_for_deployment(export_packed_variables(
-        model, variables, jnp.zeros((1,) + shape)))
-
     # sign_compute defaults to 'auto': bit-exact s8 sign-plane convs for
     # single-plane schemes, fused bf16 bake otherwise (docs/DESIGN.md).
     packed = model.clone(inference_mode='packed',
                          eval_dtype=jnp.bfloat16)
+    variables = export_packed_variables(
+        packed, variables, jnp.zeros((1,) + shape))
+    try:
+        try:
+            variables = fold_bn_into_packed(packed, variables)
+        except (ValueError, KeyError):
+            variables = fold_xnor_thresholds(packed, variables)
+        packed = packed.clone(bn_fold=True)
+    except (ValueError, KeyError):
+        pass  # family without foldable BN (e.g. lenet): serve unfolded
+    variables = strip_for_deployment(variables)
     engine = InferenceEngine(packed.apply, variables, shape,
                              max_batch=64)
     # Compile every bucket before accepting traffic: no request pays
