@@ -25,7 +25,7 @@ Layer map (bottom-up):
 
 from typing import Callable, Dict
 
-__version__ = '0.4.0'
+__version__ = '0.5.0'
 
 # Reference-parity aliases (quant/__init__.py:18-29): per-batch hook
 # callables threaded through the train/eval loops, and the metric-dict
