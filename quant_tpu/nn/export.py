@@ -163,6 +163,10 @@ def fold_xnor_thresholds(model: Any, variables: dict[str, Any],
 
     Writes x_thresh (C,), x_flip (C,), x_va (k, C) into each folded
     conv's packed_params. Serve with model.clone(bn_fold=True).
+
+    Families: QResNet with block 'xnor'/'xnor_bottleneck' (every
+    in-block BN), and QLeNet5 (its bn_conv2 — affine-free, eps 1e-4 —
+    directly precedes the quantized conv2; reference lenet.py:85-86).
     """
     import jax.numpy as jnp
     import numpy as np
@@ -171,21 +175,79 @@ def fold_xnor_thresholds(model: Any, variables: dict[str, Any],
         raise ValueError('fold_xnor_thresholds needs packed_params — '
                          'run export_packed_variables first.')
     block = getattr(model, 'block', None)
-    if block not in ('xnor', 'xnor_bottleneck'):
+    is_lenet = type(model).__name__ == 'QLeNet5'
+    if block not in ('xnor', 'xnor_bottleneck') and not is_lenet:
         raise ValueError(
             f'threshold folding is defined for the BN->conv (xnor) '
-            f'families, not {block!r}.')
+            f'families and QLeNet5, not {block!r}.')
     if getattr(model, 'moving_average_mode', 'off') == 'off':
         raise ValueError(
             "threshold folding requires an EMA moving_average_mode "
             "('eval_only'/'train_and_eval'): with mode 'off' the eval "
             'scales are solved from the actual clamp(BN(x)) values, '
-            'which the folded path never computes.')
+            'which the folded path never computes. Calibrate first '
+            '(nn.export.calibrate_ema_scales).')
 
     params = variables['params']
     stats = variables['batch_stats']
     qstate = variables.get('quant_state', {})
     pp = jax.tree.map(lambda x: x, variables['packed_params'])  # copy
+
+    def fold_one(node, conv, g, beta, mean, var, x_scheme, clamp,
+                 qs_conv, label, bn_eps):
+        a = g / jnp.sqrt(var + bn_eps)
+        abs_a = np.asarray(jnp.abs(a))
+        if not (abs_a > 0).all():
+            raise ValueError(
+                f'{label}: BN scale gamma has a zero channel — '
+                'no threshold form exists; serve unfolded.')
+        ema = jnp.asarray(qs_conv['x_quantizer']['ema'])
+        count = np.asarray(qs_conv['x_quantizer']['ema_count'])
+        if not count > 0:
+            raise ValueError(
+                f'{label}: activation EMA has tracked no batches — '
+                'train (or run a calibration pass) first.')
+        if clamp.get('kind') == 'symmetric':
+            ema_np = np.asarray(ema)
+            if x_scheme in ('ls-2', 'ls-T'):
+                # Residual before plane 2 is v1*b1 (ls-T shares v1).
+                prefix = ema_np[:1]
+            elif x_scheme.startswith('gf-'):
+                prefix = np.cumsum(ema_np)[:-1]
+            else:  # ls-1: single plane, no residual to bound
+                prefix = np.zeros(0)
+            alpha = float(clamp.get('alpha', 1.0))
+            if prefix.size and not (prefix <= alpha).all():
+                raise ValueError(
+                    f'{label}: EMA scale prefix sums '
+                    f'{prefix.tolist()} exceed clamp alpha {alpha} '
+                    '— residual planes would leave the clamp box; '
+                    'serve unfolded.')
+        entry = dict(node[conv])
+        entry['x_thresh'] = (-(beta - mean * a) / a).astype(jnp.float32)
+        entry['x_flip'] = jnp.where(a >= 0, 1.0, -1.0).astype(
+            jnp.float32)
+        entry['x_va'] = (ema[:, None] / jnp.abs(a)[None, :]).astype(
+            jnp.float32)
+        node[conv] = entry
+
+    if is_lenet:
+        if model.x_quant == 'fp':
+            raise ValueError('threshold folding is undefined for fp '
+                             'activations (they consume BN values).')
+        if 'conv2' in pp and 'w_packed' in pp.get('conv2', {}):
+            bn = stats['bn_conv2']['bn']
+            var = jnp.asarray(bn['var'])
+            # bn_conv2 is affine-free (lenet.py): gamma=1, beta=0.
+            fold_one(pp, 'conv2', jnp.ones_like(var),
+                     jnp.zeros_like(var), jnp.asarray(bn['mean']), var,
+                     model.x_quant,
+                     dict(model.clamp) if model.clamp
+                     else {'kind': 'identity'},
+                     qstate['conv2'], 'conv2/bn_conv2', bn_eps=1e-4)
+        out = dict(variables)
+        out['packed_params'] = pp
+        return out
 
     pairs = [('conv1', 'bn1'), ('conv2', 'bn2')]
     if block == 'xnor_bottleneck':
@@ -204,47 +266,13 @@ def fold_xnor_thresholds(model: Any, variables: dict[str, Any],
                 continue
             if bn not in params[name]:
                 raise KeyError(f'{name}/{bn} missing — cannot fold')
-            g = jnp.asarray(params[name][bn]['bn']['scale'])
-            beta = jnp.asarray(params[name][bn]['bn']['bias'])
-            mean = jnp.asarray(stats[name][bn]['bn']['mean'])
-            var = jnp.asarray(stats[name][bn]['bn']['var'])
-            a = g / jnp.sqrt(var + eps)
-            abs_a = np.asarray(jnp.abs(a))
-            if not (abs_a > 0).all():
-                raise ValueError(
-                    f'{name}/{bn}: BN scale gamma has a zero channel — '
-                    'no threshold form exists; serve unfolded.')
-            ema = jnp.asarray(qstate[name][conv]['x_quantizer']['ema'])
-            count = np.asarray(
-                qstate[name][conv]['x_quantizer']['ema_count'])
-            if not count > 0:
-                raise ValueError(
-                    f'{name}/{conv}: activation EMA has tracked no '
-                    'batches — train (or run a calibration pass) first.')
-            if clamp.get('kind') == 'symmetric':
-                ema_np = np.asarray(ema)
-                if x_scheme in ('ls-2', 'ls-T'):
-                    # Residual before plane 2 is v1*b1 (ls-T shares v1).
-                    prefix = ema_np[:1]
-                elif x_scheme.startswith('gf-'):
-                    prefix = np.cumsum(ema_np)[:-1]
-                else:  # ls-1: single plane, no residual to bound
-                    prefix = np.zeros(0)
-                alpha = float(clamp.get('alpha', 1.0))
-                if prefix.size and not (prefix <= alpha).all():
-                    raise ValueError(
-                        f'{name}/{conv}: EMA scale prefix sums '
-                        f'{prefix.tolist()} exceed clamp alpha {alpha} '
-                        '— residual planes would leave the clamp box; '
-                        'serve unfolded.')
-            entry = dict(node[conv])
-            entry['x_thresh'] = (-(beta - mean * a) / a).astype(
-                jnp.float32)
-            entry['x_flip'] = jnp.where(a >= 0, 1.0, -1.0).astype(
-                jnp.float32)
-            entry['x_va'] = (ema[:, None] / jnp.abs(a)[None, :]).astype(
-                jnp.float32)
-            node[conv] = entry
+            fold_one(node, conv,
+                     jnp.asarray(params[name][bn]['bn']['scale']),
+                     jnp.asarray(params[name][bn]['bn']['bias']),
+                     jnp.asarray(stats[name][bn]['bn']['mean']),
+                     jnp.asarray(stats[name][bn]['bn']['var']),
+                     x_scheme, clamp, qstate[name][conv],
+                     f'{name}/{conv}', bn_eps=eps)
 
     out = dict(variables)
     out['packed_params'] = pp

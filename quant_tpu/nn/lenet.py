@@ -38,12 +38,23 @@ class QLeNet5(nn.Module):
     pass_fusion: bool = True
     sign_compute: str = 'auto'
     calibrate: bool = False
+    # Threshold-folded serving: bn_conv2 (affine-free BN directly
+    # before the quantized conv2) folds into per-channel thresholds in
+    # packed_params (nn/export.fold_xnor_thresholds); requires binary
+    # activations + EMA scales, like the xnor ResNet blocks.
+    bn_fold: bool = False
+
+    def _fold(self, train: bool) -> bool:
+        return (self.bn_fold and not train
+                and self.inference_mode == 'packed'
+                and self.w_quant != 'fp' and self.x_quant != 'fp')
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         dt = self.eval_dtype if not train else self.train_dtype
         if dt is not None:
             x = x.astype(dt)
+        fold = self._fold(train)
         # First layer full precision (reference lenet.py:80-83).
         x = Conv(self.conv1_filters, 5, stride=1, dtype=dt, name='conv1')(x)
         x = BatchNorm(momentum=0.1, epsilon=1e-4, affine=False,
@@ -51,8 +62,9 @@ class QLeNet5(nn.Module):
         x = max_pool2d(x, kernel_size=2, stride=2)
 
         # Quantized conv2 preceded by BN (reference lenet.py:85-86).
-        x = BatchNorm(momentum=0.1, epsilon=1e-4, affine=False,
-                      name='bn_conv2')(x, train)
+        if not fold:
+            x = BatchNorm(momentum=0.1, epsilon=1e-4, affine=False,
+                          name='bn_conv2')(x, train)
         x = QuantConv2d(
             self.conv2_filters, 5,
             x_quant=self.x_quant, w_quant=self.w_quant, clamp=self.clamp,
@@ -66,6 +78,7 @@ class QLeNet5(nn.Module):
             pass_fusion=self.pass_fusion,
             sign_compute=self.sign_compute,
             calibrate=self.calibrate,
+            bn_folded=fold,
             name='conv2',
         )(x, train)
         x = nn.relu(x)

@@ -191,3 +191,26 @@ def test_threshold_fold_mismatch_raises_both_ways():
         packed.apply(fvars, x, False)  # folded vars, unfolded model
     with pytest.raises(ValueError, match='x_thresh'):
         packed.clone(bn_fold=True).apply(pvars, x, False)
+
+
+def test_threshold_fold_lenet_parity():
+    """QLeNet5's bn_conv2 (affine-free, eps 1e-4) directly precedes the
+    quantized conv2 — the same foldable BN->conv pattern."""
+    from quant_tpu.nn import QLeNet5
+
+    rng = np.random.default_rng(7)
+    model = QLeNet5(conv1_filters=4, conv2_filters=4,
+                    x_quant='ls-2', w_quant='ls-1',
+                    clamp={'kind': 'symmetric', 'alpha': 2.0},
+                    moving_average_mode='eval_only')
+    x = jnp.asarray(rng.standard_normal((4, 28, 28, 1)), jnp.float32)
+    variables = _perturb(model.init(jax.random.key(0), x, True), rng)
+    packed = model.clone(inference_mode='packed')
+    pvars = export_packed_variables(packed, variables, x[:1])
+    ref = packed.apply(pvars, x, False)
+    fvars = fold_xnor_thresholds(packed, pvars)
+    flat = str(jax.tree_util.tree_structure(fvars['packed_params']))
+    assert 'x_thresh' in flat
+    out = packed.clone(bn_fold=True).apply(fvars, x, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
