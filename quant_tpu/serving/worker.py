@@ -10,9 +10,15 @@ Spec (JSON):
   model: 'experiment'        — serve a trained experiment directory
                                (config.yaml + latest checkpoint), packed
                                + BN-folded where the family allows;
+         'artifact'          — serve a PREPARED artifact
+                               (serving/prepare.py): stripped packed
+                               variables load directly, no per-worker
+                               export/fold work;
          'lenet_random'      — deterministic random LeNet (tests/demos);
          'resnet18_random'   — deterministic random packed ResNet-18.
   experiment_dir: for model='experiment'.
+  artifact_dir: for model='artifact' (input_shape comes from its
+        serving.yaml unless overridden).
   seed: init seed for the *_random models (same seed => identical
         variables in every worker, the interchangeable-backend
         contract).
@@ -101,6 +107,15 @@ def build_engine_from_spec(spec: dict) -> 'object':
                     'regression; investigate rather than ignore.',
                     type(e).__name__, e)
                 serve_model = model
+        return InferenceEngine(serve_model.apply, variables, input_shape,
+                               max_batch=max_batch, batch_buckets=buckets,
+                               max_wait_ms=max_wait)
+
+    if kind == 'artifact':
+        from quant_tpu.serving.prepare import load_serving_artifact
+        serve_model, variables, art_shape = load_serving_artifact(
+            spec['artifact_dir'])
+        input_shape = tuple(spec.get('input_shape', art_shape))
         return InferenceEngine(serve_model.apply, variables, input_shape,
                                max_batch=max_batch, batch_buckets=buckets,
                                max_wait_ms=max_wait)
