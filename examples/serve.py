@@ -25,7 +25,17 @@ def _serve_multiprocess(args) -> None:
     from quant_tpu.serving import ServingFrontend, spawn_engine_workers
 
     shape = [args.image_size, args.image_size, 3]
-    if args.experiment:
+    if args.artifact:
+        # Prepared offline (python -m quant_tpu.serving.prepare):
+        # workers load the stripped artifact with no export work; the
+        # request shape comes from its serving.yaml.
+        import yaml
+        meta = yaml.safe_load(
+            (Path(args.artifact) / 'serving.yaml').read_text())
+        shape = list(meta['input_shape'])
+        spec = {'model': 'artifact', 'artifact_dir': args.artifact,
+                'max_batch': 64}
+    elif args.experiment:
         spec = {'model': 'experiment', 'experiment_dir': args.experiment,
                 'input_shape': shape, 'max_batch': 64}
     else:
@@ -80,6 +90,10 @@ def main() -> None:
                         help='with --workers: experiment dir every '
                              'worker loads (defaults to a random '
                              'packed ResNet-18)')
+    parser.add_argument('--artifact', type=str, default=None,
+                        help='with --workers: serve a PREPARED artifact '
+                             'dir (quant_tpu.serving.prepare) — no '
+                             'per-worker export work')
     parser.add_argument('--secret-file', type=str, default=None,
                         help='with --workers: shared RPC secret file — '
                              'enables the HMAC handshake on every '
