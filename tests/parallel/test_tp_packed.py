@@ -104,3 +104,54 @@ def test_packed_tp_bottleneck_forward_matches_unsharded(rng):
     out = fwd(sharded_vars, xs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_folded_packed_tp_forward_matches_unsharded(rng):
+    """Threshold-folded serving composes with TP: thresholds/flips/va
+    are per-INPUT-channel (replicated), sign words + scales shard over
+    'model', and the sharded folded forward equals the unsharded one."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from quant_tpu.nn import QResNet
+    from quant_tpu.nn.export import fold_xnor_thresholds
+
+    layer = {'x_quant': 'ls-1', 'w_quant': 'ls-1',
+             'clamp': {'kind': 'symmetric', 'alpha': 2.0},
+             'double_shortcut': True}
+    model = QResNet(
+        block='xnor',
+        layer0={'n_in_channels': 8, 'kernel_size': 3, 'stride': 1,
+                'padding': 1, 'bias': False,
+                'maxpool': {'type': 'identity'}},
+        layer1=dict(layer), layer2=dict(layer), layer3=dict(layer),
+        layer4=None, nonlins=['prelu', 'prelu'], num_blocks=[1, 1, 1],
+        output_classes=16, moving_average_mode='eval_only')
+    x = jnp.asarray(rng.standard_normal((8, 16, 16, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x, True)
+    _, mut = model.apply(variables, x, True,
+                         mutable=['quant_state', 'batch_stats'])
+    variables = {**variables, **mut}
+    packed = model.clone(inference_mode='packed')
+    pv = export_packed_variables(packed, variables, x[:2])
+    fv = fold_xnor_thresholds(packed, pv)
+    folded = packed.clone(bn_fold=True)
+    ref = folded.apply(fv, x, False)
+
+    mesh = make_mesh(data=4, model=2)
+    shardings = shard_model_variables(fv, mesh, tensor_parallel=True)
+    # Fold metadata is per-input-channel: must be replicated.
+    t_specs = [s.spec for p, s in jax.tree_util.tree_leaves_with_path(
+        shardings['packed_params'])
+        if 'x_thresh' in jax.tree_util.keystr(p)]
+    assert t_specs and all(s == P() for s in t_specs)
+    sharded_vars = jax.tree.map(jax.device_put, fv, shardings,
+                                is_leaf=lambda v: hasattr(v, 'shape'))
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    @jax.jit
+    def fwd(v, xb):
+        return folded.apply(v, xb, False)
+
+    out = fwd(sharded_vars, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
