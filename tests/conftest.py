@@ -94,7 +94,11 @@ def pytest_sessionstart(session):
     _sys.monitoring.use_tool_id(_COV_TOOL, 'quant_tpu-coverage')
     _sys.monitoring.register_callback(
         _COV_TOOL, _sys.monitoring.events.LINE, cov._on_line)
-    _sys.monitoring.set_events(_COV_TOOL, _sys.monitoring.events.LINE)
+    _sys.monitoring.register_callback(
+        _COV_TOOL, _sys.monitoring.events.BRANCH, cov._on_branch)
+    _sys.monitoring.set_events(
+        _COV_TOOL,
+        _sys.monitoring.events.LINE | _sys.monitoring.events.BRANCH)
     session.config._qtpu_cov = cov
 
 
@@ -107,14 +111,24 @@ def pytest_sessionfinish(session, exitstatus):
     _sys.monitoring.set_events(_COV_TOOL, 0)
     _sys.monitoring.free_tool_id(_COV_TOOL)
     tot_exec = tot_hit = 0
+    tot_br = tot_br_hit = 0
     for f in sorted(Path(cov.PKG).rglob('*.py')):
         ex = cov.executable_lines(f)
         hit = cov.hits.get(str(f), set()) & ex
+        bh, bt = cov.branch_outcomes(f, cov.branch_hits.get(str(f), {}))
         tot_exec += len(ex)
         tot_hit += len(hit)
+        tot_br += bt
+        tot_br_hit += bh
     total = 100.0 * tot_hit / max(tot_exec, 1)
-    print(f'\nquant_tpu line coverage: {total:.1f}% '
-          f'({tot_hit}/{tot_exec}, fail-under {cov.FAIL_UNDER}%)')
-    if exitstatus == 0 and total < cov.FAIL_UNDER:
-        print(f'COVERAGE GATE FAILED: {total:.1f}% < {cov.FAIL_UNDER}%')
+    btotal = 100.0 * tot_br_hit / max(tot_br, 1)
+    print(f'\nquant_tpu coverage: lines {total:.1f}% '
+          f'({tot_hit}/{tot_exec}, fail-under {cov.FAIL_UNDER}%), '
+          f'branches {btotal:.1f}% ({tot_br_hit}/{tot_br}, '
+          f'fail-under {cov.BRANCH_FAIL_UNDER}%)')
+    if exitstatus == 0 and (total < cov.FAIL_UNDER
+                            or btotal < cov.BRANCH_FAIL_UNDER):
+        print(f'COVERAGE GATE FAILED: lines {total:.1f}% '
+              f'(need {cov.FAIL_UNDER}%), branches {btotal:.1f}% '
+              f'(need {cov.BRANCH_FAIL_UNDER}%)')
         session.exitstatus = 1
