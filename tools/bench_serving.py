@@ -43,6 +43,7 @@ def main():
 
     from bench import _resnet18
     from quant_tpu.nn.export import (export_packed_variables,
+                                     fold_xnor_thresholds,
                                      strip_for_deployment)
     from quant_tpu.serving import InferenceEngine
 
@@ -51,13 +52,24 @@ def main():
     model = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
     x0 = jnp.zeros((2,) + shape, jnp.float32)
     v = dict(model.init(key, x0, True))
-    v['quant_state'] = jax.tree.map(lambda t: jnp.full_like(t, 0.5),
-                                    v.get('quant_state', {}))
-    v = strip_for_deployment(export_packed_variables(model, v, x0[:1]))
-    packed = model.clone(inference_mode='packed', eval_dtype=jnp.bfloat16)
+    v['quant_state'] = jax.tree.map(
+        lambda t: (jnp.ones_like(t)
+                   if jnp.issubdtype(t.dtype, jnp.integer)
+                   else jnp.full_like(t, 0.5)), v.get('quant_state', {}))
+    # The production serving form: packed + threshold-folded + stripped
+    # (serving/prepare.py produces exactly this artifact).
+    packed = model.clone(inference_mode='packed', eval_dtype=jnp.bfloat16,
+                         sign_compute='int8')
+    v = export_packed_variables(packed, v, x0[:1])
+    v = fold_xnor_thresholds(packed, v)
+    v = strip_for_deployment(v)
+    packed = packed.clone(bn_fold=True)
 
+    # Buckets bounded to 3 compiled programs (compiles through this
+    # tunnel cost ~10 min each when cold).
     engine = InferenceEngine(packed.apply, v, shape,
-                             max_batch=max_batch).start()
+                             max_batch=max_batch,
+                             batch_buckets=[1, 8, max_batch]).start()
     rng = np.random.default_rng(0)
     img = rng.standard_normal(shape).astype(np.float32)
 
