@@ -150,8 +150,7 @@ def _restored_ckpt_throughput(key, x, packed_clone) -> float:
     import tempfile
 
     from quant_tpu.nn.export import (
-        export_packed_variables, fold_xnor_thresholds,
-        strip_for_deployment,
+        export_packed_variables, fold_for_serving, strip_for_deployment,
     )
     from quant_tpu.train import (TrainState, get_loss_fn, make_optimizer,
                                  make_train_step)
@@ -180,12 +179,7 @@ def _restored_ckpt_throughput(key, x, packed_clone) -> float:
 
     exported = export_packed_variables(packed_clone,
                                        state.model_variables, x[:1])
-    serve_model = packed_clone
-    try:  # production serving form: threshold-folded
-        exported = fold_xnor_thresholds(packed_clone, exported)
-        serve_model = packed_clone.clone(bn_fold=True)
-    except (ValueError, KeyError):  # pragma: no cover - fallback
-        pass
+    serve_model, exported, _ = fold_for_serving(packed_clone, exported)
     artifact = strip_for_deployment(exported)
     tmp = pathlib.Path(tempfile.mkdtemp(prefix='qtpu_bench_ckpt_'))
     try:
@@ -213,21 +207,17 @@ def main() -> None:
             v.get('quant_state', {}))
         return v
 
-    def _serving_form(model, packed_clone, v):
+    def _serving_form(packed_clone, v):
         # The production serving artifact: BN+clamp+sign folded into
-        # per-channel thresholds (nn/export.fold_xnor_thresholds;
-        # measured +0.3..0.5% vs unfolded and one less module chain,
-        # tools/bench_ab_results.jsonl xnorfold_*). Falls back to the
-        # unfolded packed form if a fold precondition fails.
+        # per-channel thresholds (measured +0.3..0.5% vs unfolded and
+        # one less module chain, tools/bench_ab_results.jsonl
+        # xnorfold_*), with the shared unfolded fallback.
         from quant_tpu.nn.export import (
-            export_packed_variables, fold_xnor_thresholds,
+            export_packed_variables, fold_for_serving,
         )
         pv = export_packed_variables(packed_clone, v, x[:1])
-        try:
-            return packed_clone.clone(bn_fold=True), \
-                fold_xnor_thresholds(packed_clone, pv)
-        except (ValueError, KeyError):  # pragma: no cover - fallback
-            return packed_clone, pv
+        serve_model, pv, _ = fold_for_serving(packed_clone, pv)
+        return serve_model, pv
 
     binary = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
     vb = _fill_quant_state(binary.init(key, x[:2], True))
@@ -237,7 +227,7 @@ def main() -> None:
     # isolation but slower in-model, so it stays off here.
     packed = binary.clone(inference_mode='packed',
                           eval_dtype=jnp.bfloat16, sign_compute='int8')
-    serve_model, serve_vars = _serving_form(binary, packed, vb)
+    serve_model, serve_vars = _serving_form(packed, vb)
     ips_binary = _throughput(serve_model.apply, serve_vars, x)
 
     # Accuracy-flagship 2-bit config (ls-2 activations x ls-1 weights,
@@ -245,7 +235,7 @@ def main() -> None:
     ls2 = _resnet18('ls-2', 'ls-1', moving_average_mode='eval_only')
     v2 = _fill_quant_state(ls2.init(key, x[:2], True))
     packed2 = ls2.clone(inference_mode='packed', eval_dtype=jnp.bfloat16)
-    serve2, serve2_vars = _serving_form(ls2, packed2, v2)
+    serve2, serve2_vars = _serving_form(packed2, v2)
     ips_ls2 = _throughput(serve2.apply, serve2_vars, x)
 
     fp = _resnet18('fp', 'fp')
@@ -293,7 +283,7 @@ def main() -> None:
         vg = _fill_quant_state(gf2.init(key, x[:2], True))
         packed_gf2 = gf2.clone(inference_mode='packed',
                                eval_dtype=jnp.bfloat16)
-        serve_gf2, serve_gf2_vars = _serving_form(gf2, packed_gf2, vg)
+        serve_gf2, serve_gf2_vars = _serving_form(packed_gf2, vg)
         ips_gf2 = _throughput(serve_gf2.apply, serve_gf2_vars, x)
     except Exception:  # pragma: no cover - secondary family only
         ips_gf2 = None

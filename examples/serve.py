@@ -43,7 +43,8 @@ def _serve_multiprocess(args) -> None:
                 'max_batch': 64, 'seed': 0}
     secret = None
     if args.secret_file:
-        secret = Path(args.secret_file).read_bytes().strip()
+        # Verbatim bytes — same contract as the worker's --secret-file.
+        secret = Path(args.secret_file).read_bytes()
     print(f'spawning {args.workers} engine processes...')
     procs, clients = spawn_engine_workers(args.workers, spec,
                                           secret=secret)
@@ -142,8 +143,7 @@ def main() -> None:
     # fp32 masters: the engine serves from the minimal artifact
     # (1 bit/weight, no BN modules executed where folded).
     from quant_tpu.nn.export import (export_packed_variables,
-                                     fold_bn_into_packed,
-                                     fold_xnor_thresholds,
+                                     fold_for_serving,
                                      strip_for_deployment)
     # sign_compute defaults to 'auto': bit-exact s8 sign-plane convs for
     # single-plane schemes, fused bf16 bake otherwise (docs/DESIGN.md).
@@ -151,14 +151,7 @@ def main() -> None:
                          eval_dtype=jnp.bfloat16)
     variables = export_packed_variables(
         packed, variables, jnp.zeros((1,) + shape))
-    try:
-        try:
-            variables = fold_bn_into_packed(packed, variables)
-        except (ValueError, KeyError):
-            variables = fold_xnor_thresholds(packed, variables)
-        packed = packed.clone(bn_fold=True)
-    except (ValueError, KeyError):
-        pass  # family without foldable BN (e.g. lenet): serve unfolded
+    packed, variables, _ = fold_for_serving(packed, variables)
     variables = strip_for_deployment(variables)
     engine = InferenceEngine(packed.apply, variables, shape,
                              max_batch=64)

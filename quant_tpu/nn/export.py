@@ -13,9 +13,12 @@ artifact: 1 bit/weight for every quantized conv versus 32 in the
 training checkpoint.
 """
 
+import logging
 from typing import Any
 
 import jax
+
+logger = logging.getLogger(__name__)
 
 
 def export_packed_variables(model: Any, variables: dict[str, Any],
@@ -277,6 +280,30 @@ def fold_xnor_thresholds(model: Any, variables: dict[str, Any],
     out = dict(variables)
     out['packed_params'] = pp
     return out
+
+
+def fold_for_serving(packed_model: Any, variables: dict[str, Any]
+                     ) -> tuple[Any, dict[str, Any], bool]:
+    """Apply the family-appropriate export-time BN elimination.
+
+    Tries the conv->BN epilogue fold (fold_bn_into_packed), then the
+    BN->conv threshold fold (fold_xnor_thresholds). Returns
+    (serve_model, variables, bn_fold): the bn_fold=True clone and
+    transformed variables when a fold applied, or the inputs unchanged
+    when no fold is defined for the family / its preconditions are
+    unmet (e.g. non-EMA scales — calibrate first). The single shared
+    dispatch for every serving entry point (worker, prepare, serve
+    demo, bench)."""
+    try:
+        try:
+            folded = fold_bn_into_packed(packed_model, variables)
+        except (ValueError, KeyError):
+            folded = fold_xnor_thresholds(packed_model, variables)
+        return packed_model.clone(bn_fold=True), folded, True
+    except (ValueError, KeyError) as e:
+        logger.info('BN folding not applicable (%s); serving the '
+                    'unfolded packed form', e)
+        return packed_model, variables, False
 
 
 def strip_for_deployment(variables: dict[str, Any]) -> dict[str, Any]:

@@ -177,23 +177,19 @@ def threshold_sign_planes(x: jax.Array, scheme: str, vs: jax.Array,
     Returns ([plane NHWC in dtype], [v (N,)]) as activation_sign_planes.
     """
     dtype = dtype or SIGN_COMPUTE_DTYPE
-    n = x.shape[0]
     u = x - thresh.astype(x.dtype)
     s = flip.astype(x.dtype)
 
-    def scales(i):
-        return vs[i]
-
     if scheme == 'ls-1':
-        return [(s * binary_sign(u)).astype(dtype)], [scales(0)]
+        return [(s * binary_sign(u)).astype(dtype)], [vs[0]]
     if scheme in ('ls-2', 'ls-T'):
         p1 = binary_sign(u)
         p2 = binary_sign(u - va[0].astype(x.dtype) * p1)
         if scheme == 'ls-T':
             # Shared scale: the two planes merge into one {-2,0,+2} op.
-            return [(s * (p1 + p2)).astype(dtype)], [scales(0)]
+            return [(s * (p1 + p2)).astype(dtype)], [vs[0]]
         return ([(s * p1).astype(dtype), (s * p2).astype(dtype)],
-                [scales(0), scales(1)])
+                [vs[0], vs[1]])
     if scheme.startswith('gf-'):
         k = int(scheme.split('-')[1])
         planes, out_scales = [], []
@@ -201,7 +197,7 @@ def threshold_sign_planes(x: jax.Array, scheme: str, vs: jax.Array,
         for i in range(k):
             p = binary_sign(u - resid)
             planes.append((s * p).astype(dtype))
-            out_scales.append(scales(i))
+            out_scales.append(vs[i])
             if i + 1 < k:
                 resid = resid + va[i].astype(x.dtype) * p
         return planes, out_scales

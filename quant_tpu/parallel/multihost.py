@@ -102,15 +102,19 @@ def host_shard(num_examples: int,
 
 def _require_int_targets(t: object) -> np.ndarray:
     """Padded eval shards mark pad rows with the integer sentinel -1;
-    that convention is only defined for integer classification labels.
-    Fail loudly (instead of silently truncating float targets) and keep
-    the loader's own dtype so padding and non-padding hosts agree."""
+    that convention is only defined for SIGNED integer classification
+    labels (-1 in an unsigned dtype wraps to the dtype max and the
+    masked metrics' `target >= 0` test would count pad rows as real
+    examples). Fail loudly on float or unsigned targets instead of
+    silently corrupting, and keep the loader's own dtype so padding and
+    non-padding hosts agree."""
     arr = np.asarray(t)
-    if not np.issubdtype(arr.dtype, np.integer):
+    if not np.issubdtype(arr.dtype, np.signedinteger):
         raise TypeError(
-            'padded per-host eval shards require integer classification '
-            f'targets (sentinel -1 marks pad rows); got dtype {arr.dtype}. '
-            'Use pad=False (trim) for non-classification targets.')
+            'padded per-host eval shards require SIGNED integer '
+            f'classification targets (sentinel -1 marks pad rows); got '
+            f'dtype {arr.dtype}. Cast the loader\'s labels to a signed '
+            'dtype, or use pad=False (trim).')
     return arr
 
 

@@ -333,21 +333,35 @@ class ServingFrontend:
                     return i
             return candidates[0]  # unreachable
 
+    # Exceptions that indicate the BACKEND is unreachable/broken (a
+    # health event) vs request-level failures a backend REPORTED while
+    # alive (e.g. a remote engine's shape ValueError comes back over
+    # the RPC as RuntimeError — evicting a healthy backend for a
+    # malformed request would let bad clients take the fleet down).
+    _TRANSPORT_ERRORS = (ConnectionError, OSError, EOFError,
+                         TimeoutError)
+
+    def _record_from_future(self, idx: int, fut: Future) -> None:
+        exc = fut.exception()
+        if exc is None:
+            self._record_outcome(idx, ok=True)
+        elif isinstance(exc, self._TRANSPORT_ERRORS):
+            self._record_outcome(idx, ok=False)
+        # else: the backend answered (with an error) — alive; the
+        # caller sees the failure through the future either way.
+
     def submit(self, image: np.ndarray) -> Future:
         last_exc: Optional[Exception] = None
         for _ in range(len(self.engines)):
             idx = self._pick()
             try:
                 fut = self.engines[idx].submit(image)
-            except ValueError:
-                raise  # caller error (e.g. bad shape) — not a health event
-            except Exception as e:  # noqa: BLE001 — transport failure
+            except self._TRANSPORT_ERRORS as e:
                 self._record_outcome(idx, ok=False)
                 last_exc = e
                 continue
             fut.add_done_callback(
-                lambda f, i=idx: self._record_outcome(
-                    i, ok=f.exception() is None))
+                lambda f, i=idx: self._record_from_future(i, f))
             return fut
         raise RuntimeError(
             f'serving frontend: submit failed on every backend '

@@ -50,8 +50,8 @@ def prepare_serving_artifact(
     import yaml
 
     from quant_tpu.nn.export import (
-        calibrate_ema_scales, export_packed_variables,
-        fold_bn_into_packed, fold_xnor_thresholds, strip_for_deployment,
+        calibrate_ema_scales, export_packed_variables, fold_for_serving,
+        strip_for_deployment,
     )
     from quant_tpu.train.task import build_model
     from quant_tpu.utils.checkpoints import (
@@ -80,16 +80,7 @@ def prepare_serving_artifact(
     sample = jnp.zeros((1,) + tuple(input_shape), jnp.float32)
     variables = export_packed_variables(packed, variables, sample)
 
-    bn_fold = False
-    try:
-        try:
-            variables = fold_bn_into_packed(packed, variables)
-        except (ValueError, KeyError):
-            variables = fold_xnor_thresholds(packed, variables)
-        bn_fold = True
-    except (ValueError, KeyError) as e:
-        logger.info('BN folding not applicable (%s); artifact serves '
-                    'unfolded packed', e)
+    _, variables, bn_fold = fold_for_serving(packed, variables)
 
     artifact = strip_for_deployment(variables)
     out.mkdir(parents=True, exist_ok=True)

@@ -77,29 +77,13 @@ def build_engine_from_spec(spec: dict) -> 'object':
                 and hasattr(model, 'clone'):
             try:
                 from quant_tpu.nn.export import (
-                    export_packed_variables, fold_bn_into_packed,
-                    fold_xnor_thresholds,
+                    export_packed_variables, fold_for_serving,
                 )
                 packed = model.clone(inference_mode='packed')
                 variables = export_packed_variables(packed, variables,
                                                     sample)
-                serve_model = packed
-                try:
-                    variables = fold_bn_into_packed(packed, variables)
-                    serve_model = packed.clone(bn_fold=True)
-                except (ValueError, KeyError):
-                    try:
-                        # BN->conv families fold the OTHER way: BN +
-                        # clamp + sign become per-channel thresholds.
-                        variables = fold_xnor_thresholds(packed,
-                                                         variables)
-                        serve_model = packed.clone(bn_fold=True)
-                    except (ValueError, KeyError) as e:
-                        # Families with no foldable BN (e.g. lenet) or
-                        # missing preconditions (non-EMA scales).
-                        logger.info('BN folding not applicable (%s); '
-                                    'serving the unfolded packed path',
-                                    e)
+                serve_model, variables, _ = fold_for_serving(packed,
+                                                             variables)
             except Exception as e:  # noqa: BLE001 — fall back, loudly
                 logger.warning(
                     'packed export failed (%s: %s) — serving the DENSE '
@@ -176,7 +160,10 @@ def main(argv: Optional[list] = None) -> None:
 
     from quant_tpu.serving.rpc import EngineServer
 
-    secret = (pathlib.Path(args.secret_file).read_bytes().strip()
+    # The file's bytes ARE the secret, verbatim (no stripping: the
+    # spawner writes raw bytes — e.g. os.urandom output — and both
+    # sides must derive the same HMAC key).
+    secret = (pathlib.Path(args.secret_file).read_bytes()
               if args.secret_file else None)
     spec = json.loads(pathlib.Path(args.spec).read_text())
     engine = build_engine_from_spec(spec)
@@ -214,6 +201,7 @@ def spawn_engine_workers(n: int, spec: dict,
         sf.chmod(0o600)
         secret_args = ['--secret-file', str(sf)]
     procs: list = []
+    clients: list = []
     port_files = []
     full_env = dict(os.environ)
     if env:
@@ -243,13 +231,20 @@ def spawn_engine_workers(n: int, spec: dict,
                     raise TimeoutError('serving worker did not start')
                 time.sleep(0.1)
             ports.append(int(pathlib.Path(pf).read_text()))
-        clients = [RemoteEngineClient('127.0.0.1', p, secret=secret)
-                   for p in ports]
+        for p in ports:
+            clients.append(RemoteEngineClient('127.0.0.1', p,
+                                              secret=secret))
     except BaseException:
+        for c in clients:
+            try:
+                c.stop()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
         for p in procs:
             try:
                 p.kill()
-            except OSError:
+                p.wait(timeout=10)  # reap: no zombies in the parent
+            except (OSError, subprocess.TimeoutExpired):
                 pass
         raise
     return procs, clients

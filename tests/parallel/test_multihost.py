@@ -261,3 +261,23 @@ def test_padded_shards_reject_float_targets():
     # pad=False (trim) keeps working for float targets.
     trimmed = list(shard_loader_for_host(FloatTargets(), 0, 2, pad=False))
     assert trimmed[0][1].dtype == np.float32
+
+
+def test_padded_shards_reject_unsigned_targets():
+    """-1 wraps to the dtype max in unsigned dtypes, so pad rows would
+    pass the metrics' target >= 0 mask as real examples — refuse."""
+    import pytest
+
+    class UnsignedTargets:
+        num_examples = 3
+
+        def __len__(self):
+            return 1
+
+        def __iter__(self):
+            yield (np.zeros((3, 2), np.float32),
+                   np.asarray([1, 2, 3], np.uint8))
+
+    sharded = shard_loader_for_host(UnsignedTargets(), 1, 2, pad=True)
+    with pytest.raises(TypeError, match='SIGNED'):
+        list(sharded)

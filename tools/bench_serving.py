@@ -51,11 +51,9 @@ def main():
     shape = (224, 224, 3)
     model = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
     x0 = jnp.zeros((2,) + shape, jnp.float32)
-    v = dict(model.init(key, x0, True))
-    v['quant_state'] = jax.tree.map(
-        lambda t: (jnp.ones_like(t)
-                   if jnp.issubdtype(t.dtype, jnp.integer)
-                   else jnp.full_like(t, 0.5)), v.get('quant_state', {}))
+    sys.path.insert(0, '/root/repo/tools')
+    from measure import fill_quant_state
+    v = fill_quant_state(dict(model.init(key, x0, True)))
     # The production serving form: packed + threshold-folded + stripped
     # (serving/prepare.py produces exactly this artifact).
     packed = model.clone(inference_mode='packed', eval_dtype=jnp.bfloat16,

@@ -23,17 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from measure import enable_compile_cache, record, throughput
+from measure import (enable_compile_cache, fill_quant_state, record,
+                     throughput)
 
 enable_compile_cache()
-
-
-def _fill_quant_state(qs):
-    """Plausible cached scales (0.5) and a nonzero EMA batch count."""
-    return jax.tree.map(
-        lambda v: (jnp.ones_like(v)
-                   if jnp.issubdtype(v.dtype, jnp.integer)
-                   else jnp.full_like(v, 0.5)), qs)
 
 
 def main():
@@ -50,8 +43,7 @@ def main():
 
     for x_quant, sign_compute in (('ls-1', 'int8'), ('ls-2', 'auto')):
         m = _resnet18(x_quant, 'ls-1', moving_average_mode='eval_only')
-        v = dict(m.init(key, x[:2], True))
-        v['quant_state'] = _fill_quant_state(v.get('quant_state', {}))
+        v = fill_quant_state(dict(m.init(key, x[:2], True)))
         packed = m.clone(inference_mode='packed',
                          eval_dtype=jnp.bfloat16,
                          sign_compute=sign_compute)

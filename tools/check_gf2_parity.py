@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from measure import enable_compile_cache, record
+from measure import enable_compile_cache, fill_quant_state, record
 
 enable_compile_cache()
 
@@ -45,11 +45,7 @@ def main() -> None:
         output_classes=10, moving_average_mode='eval_only')
     key = jax.random.key(0)
     x = jax.random.normal(key, (8, 32, 32, 3), jnp.float32)
-    v = dict(m.init(key, x[:2], True))
-    v['quant_state'] = jax.tree.map(
-        lambda t: (jnp.ones_like(t)
-                   if jnp.issubdtype(t.dtype, jnp.integer)
-                   else jnp.full_like(t, 0.5)), v['quant_state'])
+    v = fill_quant_state(dict(m.init(key, x[:2], True)))
 
     packed = m.clone(inference_mode='packed')
     pv = export_packed_variables(packed, v, x[:1])

@@ -36,6 +36,21 @@ def record(**kv: object) -> None:
     print(json.dumps(kv), flush=True)
 
 
+def fill_quant_state(variables: dict) -> dict:
+    """Warm-fill for bench variables: plausible cached scales (0.5 —
+    values are epilogue multipliers, irrelevant to throughput) and a
+    nonzero count for integer EMA trackers (the fold guards need
+    tracked batches). One shared definition so every tool benches the
+    same convention (bench.py keeps its own self-contained copy)."""
+    v = dict(variables)
+    v['quant_state'] = jax.tree.map(
+        lambda t: (jnp.ones_like(t)
+                   if jnp.issubdtype(t.dtype, jnp.integer)
+                   else jnp.full_like(t, 0.5)),
+        v.get('quant_state', {}))
+    return v
+
+
 def throughput(apply_fn, variables, x, iters: int,
                unroll: int = UNROLL) -> float:
     """Images/sec with iterations serialized by data dependency."""

@@ -23,7 +23,8 @@ sys.path.insert(0, '/root/repo/tools')
 import jax
 import jax.numpy as jnp
 
-from measure import enable_compile_cache, record, throughput
+from measure import (enable_compile_cache, fill_quant_state,
+                     record, throughput)
 
 enable_compile_cache()
 
@@ -42,11 +43,7 @@ def main() -> None:
     x = jax.random.normal(key, (batch, 224, 224, 3), jnp.float32)
 
     m = _resnet18('ls-1', 'ls-1', moving_average_mode='eval_only')
-    v = dict(m.init(key, x[:2], True))
-    v['quant_state'] = jax.tree.map(
-        lambda t: (jnp.ones_like(t)
-                   if jnp.issubdtype(t.dtype, jnp.integer)
-                   else jnp.full_like(t, 0.5)), v.get('quant_state', {}))
+    v = fill_quant_state(dict(m.init(key, x[:2], True)))
     packed = m.clone(inference_mode='packed', eval_dtype=jnp.bfloat16,
                      sign_compute='int8')
     pv = export_packed_variables(packed, v, x[:1])
