@@ -18,7 +18,9 @@ checkpoints trained with moving_average_mode='off').
 
 CLI:
     python -m quant_tpu.serving.prepare --experiment DIR [--out DIR]
-        [--input-shape H,W,C] [--calibrate-synthetic N]
+        [--input-shape H,W,C]
+        [--calibrate-dataset PATH [--calibrate-batches N]]
+        [--calibrate-synthetic N]
 """
 
 import argparse
@@ -122,16 +124,41 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument('--out', default=None)
     parser.add_argument('--input-shape', default='224,224,3',
                         help='H,W,C the deployment serves')
+    parser.add_argument('--calibrate-dataset', default=None,
+                        help='dataset path for REAL-data EMA '
+                             'calibration: the experiment config\'s own '
+                             'data section is rebuilt against this path '
+                             'and its train batches drive the observer '
+                             'pass (preferred for off-mode checkpoints)')
+    parser.add_argument('--calibrate-batches', type=int, default=10,
+                        help='how many train batches to observe with '
+                             '--calibrate-dataset')
     parser.add_argument('--calibrate-synthetic', type=int, default=0,
                         help='>0: run EMA calibration on N synthetic '
-                             'batches (for off-mode checkpoints when no '
-                             'calibration data is at hand; prefer real '
-                             'data via the library API)')
+                             'batches (last resort when no calibration '
+                             'data is at hand; prefer '
+                             '--calibrate-dataset)')
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     shape = tuple(int(v) for v in args.input_shape.split(','))
     calib = None
-    if args.calibrate_synthetic > 0:
+    if args.calibrate_dataset:
+        import itertools
+
+        import yaml
+
+        from quant_tpu.data import DATASET_REGISTRY
+
+        cfg = yaml.safe_load(
+            (pathlib.Path(args.experiment) / 'config.yaml').read_text())
+        data_cfg = dict(cfg.get('data', {}))
+        loader_cls = DATASET_REGISTRY[data_cfg.pop('dataset')]
+        data_cfg['dataset_path'] = args.calibrate_dataset
+        loader = loader_cls(**data_cfg)
+        calib = [x for x, _ in itertools.islice(
+            iter(loader.get_train_loader()), args.calibrate_batches)]
+        loader.cleanup()
+    elif args.calibrate_synthetic > 0:
         import jax
 
         calib = [jax.random.normal(jax.random.key(i), (16,) + shape)

@@ -129,3 +129,40 @@ def test_prepare_cli_and_artifact_worker_process(tmp_path):
             c.stop()
         for p in procs:
             p.wait(timeout=60)
+
+
+def test_prepare_cli_real_data_calibration(tmp_path):
+    """--calibrate-dataset rebuilds the experiment's own loader against
+    the given path and calibrates on real train batches — an off-mode
+    checkpoint prepares as a FOLDED artifact."""
+    import yaml
+
+    from quant_tpu.experiment import Experiment
+    from quant_tpu.serving import prepare as prep
+
+    cfg = {
+        'seed': 9,
+        'environment': {'nchips': 1},
+        'data': {'dataset': 'synthetic', 'train_batch_size': 8,
+                 'test_batch_size': 8, 'train_size': 16, 'test_size': 8},
+        'model': {'architecture': 'lenet5', 'loss': 'nll_loss',
+                  'arch_config': {'conv1_filters': 2, 'conv2_filters': 2,
+                                  'x_quant': 'ls-1', 'w_quant': 'ls-1'}},
+        'optimization': {'epochs': 1,
+                         'optimizer': {'algorithm': 'sgd', 'lr': 0.05},
+                         'lr_scheduler': {'scheduler': 'step_lr',
+                                          'step_size': 1, 'gamma': 1.0}},
+        'log': {'level': 'WARNING', 'interval': 100, 'save_model_freq': 1,
+                'tensorboard': False,
+                'root_experiments_dir': str(tmp_path / 'experiments')},
+        'experiment_name': 'calprep',
+    }
+    Experiment(classification_task, cfg).run()
+    exp_dir = tmp_path / 'experiments' / 'calprep'
+    out = tmp_path / 'art'
+    prep.main(['--experiment', str(exp_dir), '--out', str(out),
+               '--input-shape', '28,28,1',
+               '--calibrate-dataset', str(tmp_path),
+               '--calibrate-batches', '2'])
+    meta = yaml.safe_load((out / 'serving.yaml').read_text())
+    assert meta['bn_fold'] is True  # calibrated lenet threshold-folds
